@@ -1,0 +1,364 @@
+"""Serializers for DLDocument: markdown, indented element tree, plain text.
+
+Byte-compatible with the reference golden fixtures
+(``/root/reference/docling/tests/data/groundtruth/docling_v2/*.html.md`` and
+``*.html.itxt``); semantics inferred from the fixtures themselves and from
+the serializer usage in ``/root/reference/docling/docling/cli/main.py:221-284``.
+"""
+
+from __future__ import annotations
+
+from .document import (
+    ContentLayer,
+    DLDocument,
+    GroupItem,
+    PictureItem,
+    TableItem,
+    TextItem,
+)
+
+
+# --------------------------------------------------------------------- itxt
+def _itxt_text(text: str) -> str:
+    """Long texts abbreviate to head[:32] + ' ... ' + tail[-38:] (75 chars),
+    as observed across every golden itxt fixture."""
+    if len(text) >= 75:
+        return f"{text[:32]} ... {text[-38:]}"
+    return text
+
+
+def export_to_element_tree(doc: DLDocument) -> str:
+    """Indented item dump: ``item-N at level L: <label>: <text>`` lines."""
+    lines: list[str] = []
+    for ix, (item, level) in enumerate(
+        doc.iterate_items(doc.body, with_groups=True)
+    ):
+        pad = "  " * level
+        if isinstance(item, GroupItem):
+            lines.append(
+                f"{pad}item-{ix} at level {level}: {item.label}: group {item.name}"
+            )
+        elif isinstance(item, TextItem):
+            lines.append(
+                f"{pad}item-{ix} at level {level}: {item.label}: "
+                f"{_itxt_text(item.text)}"
+            )
+        elif isinstance(item, TableItem):
+            lines.append(
+                f"{pad}item-{ix} at level {level}: {item.label} with "
+                f"[{item.data.num_rows}x{item.data.num_cols}]"
+            )
+            for cap_ref in item.captions:
+                cap = doc.resolve(cap_ref)
+                lines.append(
+                    f"{pad}  item-{ix} at level {level + 1}: caption: "
+                    f"{_itxt_text(cap.text)}"
+                )
+        elif isinstance(item, PictureItem):
+            lines.append(f"{pad}item-{ix} at level {level}: {item.label}")
+            for cap_ref in item.captions:
+                cap = doc.resolve(cap_ref)
+                lines.append(
+                    f"{pad}  item-{ix} at level {level + 1}: caption: "
+                    f"{_itxt_text(cap.text)}"
+                )
+    return "\n".join(lines)
+
+
+# ----------------------------------------------------------------- markdown
+def _apply_formatting(text: str, item: TextItem) -> str:
+    fmt = item.formatting
+    if fmt is not None:
+        if fmt.bold and fmt.italic:
+            text = f"***{text}***"
+        elif fmt.bold:
+            text = f"**{text}**"
+        elif fmt.italic:
+            text = f"*{text}*"
+        if fmt.strikethrough:
+            text = f"~~{text}~~"
+        # underline and sub/super scripts have no markdown form
+    return text
+
+
+def _escape_md(text: str) -> str:
+    """docling-core markdown escaping: html entities + underscores."""
+    text = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    return text.replace("_", "\\_")
+
+
+def _inline_text(item: TextItem, with_hyperlink: bool = True) -> str:
+    """Render one text item as inline markdown (marks + hyperlink)."""
+    text = item.text
+    if item.label == "code":
+        text = f"`{text}`"
+    else:
+        text = _apply_formatting(_escape_md(text), item)
+    if item.hyperlink and with_hyperlink:
+        text = f"[{text}]({item.hyperlink})"
+    return text
+
+
+def _is_included(item, layers) -> bool:
+    return item.content_layer in layers
+
+
+class _MarkdownWriter:
+    def __init__(self, doc: DLDocument, layers=None):
+        self.doc = doc
+        self.layers = layers or {ContentLayer.BODY}
+
+    def serialize(self) -> str:
+        blocks = self._children_blocks(self.doc.body)
+        return "\n\n".join(b for b in blocks if b)
+
+    # -- helpers -------------------------------------------------------------
+    def _children_blocks(self, item) -> list[str]:
+        blocks: list[str] = []
+        for ref in item.children:
+            child = self.doc.resolve(ref)
+            blocks.extend(self._item_blocks(child))
+        return blocks
+
+    def _item_blocks(self, item) -> list[str]:
+        """Serialize an item (and its subtree) to markdown blocks."""
+        included = _is_included(item, self.layers)
+        if isinstance(item, GroupItem):
+            if item.label == "inline":
+                blocks = [self._inline_group(item)] if included else []
+                # inline groups normally hold only texts; nested non-text
+                # children (rare) are dropped by the reference as well
+                return blocks
+            if item.label == "list":
+                return self._list_blocks(item) if included else []
+            # section / unspecified: transparent containers
+            return self._children_blocks(item)
+
+        if isinstance(item, TextItem):
+            blocks = []
+            if included:
+                if item.label == "caption":
+                    # captions render through their picture/table, not inline
+                    pass
+                elif item.label == "title":
+                    blocks.append(f"# {_inline_text(item)}")
+                elif item.label == "section_header":
+                    level = item.level if item.level is not None else 1
+                    blocks.append(f"{'#' * (level + 1)} {_inline_text(item)}")
+                elif item.label == "code":
+                    blocks.append(f"```\n{item.text}\n```")
+                elif item.text:
+                    blocks.append(_inline_text(item))
+            blocks.extend(self._children_blocks(item))
+            return blocks
+
+        if isinstance(item, PictureItem):
+            blocks = []
+            if included:
+                for cap_ref in item.captions:
+                    cap = self.doc.resolve(cap_ref)
+                    if cap.text:
+                        blocks.append(_inline_text(cap, with_hyperlink=False))
+                blocks.append("<!-- image -->")
+            return blocks
+
+        if isinstance(item, TableItem):
+            blocks = []
+            if included:
+                for cap_ref in item.captions:
+                    cap = self.doc.resolve(cap_ref)
+                    if cap.text:
+                        blocks.append(_inline_text(cap, with_hyperlink=False))
+                tbl = self._table_block(item)
+                if tbl:
+                    blocks.append(tbl)
+            return blocks
+
+        return []
+
+    def _inline_group(self, group: GroupItem) -> str:
+        parts: list[str] = []
+        for ref in group.children:
+            child = self.doc.resolve(ref)
+            if isinstance(child, TextItem):
+                parts.append(_inline_text(child))
+            elif isinstance(child, PictureItem):
+                parts.append("<!-- image -->")
+        return " ".join(p for p in parts if p)
+
+    def _list_blocks(self, group: GroupItem, indent: int = 0) -> list[str]:
+        lines: list[str] = []
+        pad = "    " * indent
+        enum_idx = 0
+        for ref in group.children:
+            child = self.doc.resolve(ref)
+            if isinstance(child, GroupItem) and child.label == "list":
+                lines.extend(self._list_blocks(child, indent + 1))
+                continue
+            if isinstance(child, PictureItem):
+                for cap_ref in child.captions:
+                    cap = self.doc.resolve(cap_ref)
+                    if cap.text:
+                        lines.append(_inline_text(cap, with_hyperlink=False))
+                lines.append("<!-- image -->")
+                continue
+            if not isinstance(child, TextItem):
+                continue
+            enum_idx += 1
+            if child.enumerated:
+                marker = child.marker or f"{enum_idx}."
+            else:
+                marker = "-"
+            inline_parts: list[str] = []
+            if child.text:
+                inline_parts.append(_inline_text(child))
+            # inline groups / nested lists hooked under this list item
+            sub_lists: list[str] = []
+            for sub_ref in child.children:
+                sub = self.doc.resolve(sub_ref)
+                if isinstance(sub, GroupItem) and sub.label == "inline":
+                    inline_parts.append(self._inline_group(sub))
+                elif isinstance(sub, GroupItem) and sub.label == "list":
+                    sub_lists.extend(self._list_blocks(sub, indent + 1))
+                elif isinstance(sub, TextItem) and sub.text:
+                    inline_parts.append(_inline_text(sub))
+            body = " ".join(p for p in inline_parts if p)
+            lines.append(f"{pad}{marker} {body}")
+            lines.extend(sub_lists)
+        return ["\n".join(lines)] if lines else []
+
+    def _cell_text(self, cell, first_pos: bool = True) -> str:
+        """Render one table cell for the pipe grid: rich cells serialize
+        their item subtree inline (only at their start position; spanned
+        repeats stay empty); plain cells flatten newlines."""
+        if cell.ref is not None and not first_pos:
+            return ""
+        if cell.ref is not None:
+            try:
+                group = self.doc.resolve(cell.ref)
+            except KeyError:
+                group = None
+            if group is not None:
+                blocks = self._children_blocks(group)
+                joined = "\n\n".join(b for b in blocks if b)
+                return joined.replace("\n\n", "  ").replace("\n", " ")
+        return cell.text.strip().replace("\n", "  ")
+
+    def _table_block(self, item: TableItem) -> str:
+        data = item.data
+        if data.num_rows == 0 or data.num_cols == 0:
+            return ""
+        grid = data.grid()
+        texts = [
+            [
+                self._cell_text(
+                    cell,
+                    first_pos=(
+                        r == cell.start_row_offset_idx
+                        and c == cell.start_col_offset_idx
+                    ),
+                )
+                for c, cell in enumerate(row)
+            ]
+            for r, row in enumerate(grid)
+        ]
+        return _tabulate_github(texts[0], texts[1:])
+
+
+def _is_number(s: str) -> bool:
+    if not s:
+        return False
+    try:
+        float(s)
+    except ValueError:
+        return False
+    return True
+
+
+def _is_int(s: str) -> bool:
+    try:
+        int(s)
+    except ValueError:
+        return False
+    return True
+
+
+def _after_point(s: str) -> int:
+    pos = s.rfind(".")
+    if "e" in s.lower():
+        epos = s.lower().rfind("e")
+        return len(s) - epos - 1 if pos < 0 else -1
+    return len(s) - pos - 1 if pos >= 0 else -1
+
+
+def _tabulate_github(headers: list, data: list) -> str:
+    """Emulation of ``tabulate(data, headers, tablefmt="github")`` — the
+    serializer the reference's docling-core markdown table export delegates
+    to (observed in the golden pipe tables: MIN_PADDING=2 on headers,
+    numeric columns right-aligned, plain-dash separator)."""
+    ncols = len(headers)
+    cols = [[row[c] if c < len(row) else "" for row in data] for c in range(ncols)]
+    out_cols = []
+    for c in range(ncols):
+        values = cols[c]
+        numeric = bool(values) and all(_is_number(v) for v in values)
+        if numeric:
+            # number normalization: ints via int(), floats via format(x, 'g')
+            formatted = []
+            for v in values:
+                if _is_int(v):
+                    formatted.append(str(int(v)))
+                else:
+                    formatted.append(format(float(v), "g"))
+            # decimal alignment: pad fractional tails so points line up
+            tails = [_after_point(v) for v in formatted]
+            max_tail = max([t for t in tails if t >= 0], default=0)
+            padded = []
+            for v in formatted:
+                t = _after_point(v)
+                pad = max_tail - t if t >= 0 else (max_tail + 1 if max_tail > 0 else 0)
+                padded.append(v + " " * pad)
+            width = max([len(headers[c]) + 2] + [len(v) for v in padded])
+            out_cols.append(
+                {
+                    "header": headers[c].rjust(width),
+                    "cells": [v.rjust(width) for v in padded],
+                    "width": width,
+                }
+            )
+        else:
+            width = max([len(headers[c]) + 2] + [len(v) for v in values] + [0])
+            out_cols.append(
+                {
+                    "header": headers[c].ljust(width),
+                    "cells": [v.ljust(width) for v in values],
+                    "width": width,
+                }
+            )
+    lines = ["| " + " | ".join(col["header"] for col in out_cols) + " |"]
+    lines.append("|" + "|".join("-" * (col["width"] + 2) for col in out_cols) + "|")
+    for r in range(len(data)):
+        lines.append(
+            "| " + " | ".join(col["cells"][r] for col in out_cols) + " |"
+        )
+    return "\n".join(lines)
+
+
+def export_to_markdown(doc: DLDocument) -> str:
+    return _MarkdownWriter(doc).serialize()
+
+
+# --------------------------------------------------------------- plain text
+def export_to_text(doc: DLDocument) -> str:
+    """Markdown stripped of marks — the engine's `text` output column."""
+    blocks: list[str] = []
+    for item, _level in doc.iterate_items(doc.body, with_groups=False):
+        if isinstance(item, TextItem) and item.text:
+            blocks.append(item.text)
+        elif isinstance(item, TableItem):
+            grid = item.data.grid()
+            for row in grid:
+                blocks.append("\t".join(c.text for c in row))
+    return "\n".join(blocks)

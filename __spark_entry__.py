@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction (synth web_pages from the
+``documents`` table → prepare → extract → status rows). ``queries`` /
+``oracle_sql`` expose the operator inventory of SURVEY.md §2 with DuckDB
+twins; every computed column is aliased identically on both sides.
+
+The synthesized web-page corpus (docling_plus_spark.sources.web_pages) is
+built with pure column expressions from ``documents``, so the expected
+*extraction output* is itself SQL-expressible — the extraction queries are
+value-checked end-to-end, not just row-counted.
 """
 
 from __future__ import annotations
@@ -12,27 +16,402 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_plus_spark.functions import (
+    doc_hash,
+    fingerprint_md5,
+    langid_expr,
+    quality_score,
+    sniff_format,
+    token_count,
+    unicode_clean,
+)
+from docling_plus_spark.plans.pipeline import extract_pipeline
+from docling_plus_spark.sources.web_pages import (
+    SYNTH_PAGE_ORACLE_CTE,
+    synth_pages_from_documents,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# a deterministic mixed-format corpus for the sniffer: rotate doc_id%5
+# through pdf/xml/xhtml/html/json framings of the same text payload.
+def _mixed_format_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    body = (
+        F.when(m == 0, F.concat(F.lit("%PDF-1.7 "), F.col("text")))
+        .when(m == 1, F.concat(F.lit("<?xml version=\"1.0\"?><root>"), F.col("text"), F.lit("</root>")))
+        .when(m == 2, F.concat(F.lit("<?xml version=\"1.0\"?><html xmlns=\"http://www.w3.org/1999/xhtml\"><body><p>"), F.col("text"), F.lit("</p></body></html>")))
+        .when(m == 3, F.concat(F.lit("<!DOCTYPE html><html><body><p>"), F.col("text"), F.lit("</p></body></html>")))
+        .otherwise(F.concat(F.lit("{\"text\": \""), F.col("text"), F.lit("\"}")))
+    )
+    return d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://synth.test/mixed/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+
+
+_MIXED_CTE = """mixed AS (
+SELECT doc_id,
+       'https://synth.test/mixed/' || doc_id::varchar AS url,
+       encode(CASE doc_id % 5
+         WHEN 0 THEN '%PDF-1.7 ' || text
+         WHEN 1 THEN '<?xml version="1.0"?><root>' || text || '</root>'
+         WHEN 2 THEN '<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml"><body><p>' || text || '</p></body></html>'
+         WHEN 3 THEN '<!DOCTYPE html><html><body><p>' || text || '</p></body></html>'
+         ELSE '{"text": "' || text || '"}'
+       END) AS html
+FROM documents
+)"""
+
+
+# inject the unicode table's characters deterministically so the cleanup
+# expression has something to clean on the all-ASCII synthetic text.
+def _dirty_text(col):
+    return F.concat(F.lit("“x” — "), col, F.lit("… end​"))
+
+
+_DIRTY_SQL = "chr(8220)||'x'||chr(8221)||' '||chr(8212)||' '|| text ||chr(8230)||chr(160)||'end'||chr(8203)"
+_CLEAN_SQL = (
+    "replace(replace(replace(replace(replace(replace(" + _DIRTY_SQL + ","
+    "chr(8220),'\"'),chr(8221),'\"'),chr(8212),'-'),chr(8230),'...'),chr(160),' '),chr(8203),'')"
+)
+
+# garbage injection for the quality score (P7)
+_GARBAGE_SPARK = lambda c: F.when(  # noqa: E731
+    F.pmod(F.col("doc_id"), 3) == 0, F.concat(c, F.lit(" GLYPH<3f> /G123 x�"))
+).otherwise(c)
+_GARBAGE_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' GLYPH<3f> /G123 x' || chr(65533) "
+    "ELSE text END"
+)
+_QSCORE_RAW_SQL = (
+    "(1.0 - (length({t}) - length(regexp_replace({t}, "
+    "'GLYPH<[0-9A-Fa-f]+>|/G[0-9]+|' || chr(65533), '', 'g')))::double "
+    "/ length({t})::double)"
+).format(t=f"({_GARBAGE_SQL})")
+_QSCORE_SQL = f"round({_QSCORE_RAW_SQL}, 6)"
+
+# langid replace-count scoring, portable SQL twin of langid_expr
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "es": [" el ", " la ", " los ", " que ", " es "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " les ", " est ", " une "],
+}
+
+
+def _langid_sql(text_expr: str) -> str:
+    padded = f"(' ' || lower({text_expr}) || ' ')"
+    scores = {}
+    for lang, ms in _LANG_MARKERS.items():
+        parts = [
+            f"(length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)}"
+            for m in ms
+        ]
+        scores[lang] = "(" + " + ".join(parts) + ")::bigint"
+    langs = list(_LANG_MARKERS)
+    expr = f"'{langs[0]}'"
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        expr = f"CASE WHEN {scores[lang]} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({scores[lang]}, {best})"
+    return f"CASE WHEN {best} <= 0 THEN 'und' ELSE {expr} END"
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_pipeline(synth_pages_from_documents(spark, sf_dir))
+    return out.select("url", "status", "num_items", "text")
+
+
+def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_pipeline(synth_pages_from_documents(spark, sf_dir))
+    return out.select("url", "md")
+
+
+def _q_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _mixed_format_pages(spark, sf_dir)
+    return (
+        p.select(sniff_format(F.col("html"), F.col("url")).alias("format"))
+        .groupBy("format")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = synth_pages_from_documents(spark, sf_dir)
+    return p.select("url", doc_hash(F.col("html")).alias("doc_hash"))
+
+
+def _q_limits_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    valid = (F.col("n_chars") > 0) & (F.col("n_chars") <= 300)
+    return d.select(valid.alias("valid")).groupBy("valid").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", unicode_clean(_dirty_text(F.col("text"))).alias("cleaned"))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.round(quality_score(_GARBAGE_SPARK(F.col("text"))), 6).alias("q")
+    )
+
+
+def _q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    q = quality_score(_GARBAGE_SPARK(F.col("text")))
+    return (
+        d.select("source", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.round(F.percentile("q", F.lit(0.10)), 6).alias("q10"),
+            F.round(F.avg("q"), 6).alias("q_mean"),
+        )
+    )
+
+
+def _q_confidence_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    q = quality_score(_GARBAGE_SPARK(F.col("text")))
+    grade = (
+        F.when(q < 0.5, "poor")
+        .when(q < 0.8, "fair")
+        .when(q < 0.9, "good")
+        .otherwise("excellent")
+    )
+    return d.select(grade.alias("grade")).groupBy("grade").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages_from_documents(spark, sf_dir)
+    # inject invalid rows: every 7th page gets empty bytes
+    pages = pages.withColumn(
+        "html",
+        F.when(
+            F.pmod(F.regexp_extract("url", r"(\d+)$", 1).cast("long"), 7) == 0,
+            F.encode(F.lit(""), "UTF-8"),
+        ).otherwise(F.col("html")),
+    )
+    out = extract_pipeline(pages)
+    return out.groupBy("status", "failure_class").agg(F.count("*").alias("n"))
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", langid_expr(F.col("text")).alias("lang_pred"))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = fingerprint_md5(F.col("text"))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _q_reading_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "rk", "event_id", "event_type")
+    )
+
+
+def _q_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "rk", "doc_id", "n_chars")
+    )
+
+
+def _q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.6 analog: urls present in input but absent from successful output
+    inp = synth_pages_from_documents(spark, sf_dir).withColumn(
+        "html",
+        F.when(
+            F.pmod(F.regexp_extract("url", r"(\d+)$", 1).cast("long"), 7) == 0,
+            F.encode(F.lit(""), "UTF-8"),
+        ).otherwise(F.col("html")),
+    )
+    ok = extract_pipeline(inp).filter(F.col("status") == "success").select("url")
+    return inp.select("url").exceptAll(ok)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction over synth web_pages from sf0.001 documents."""
+    pages = synth_pages_from_documents(spark, "/root/testdata/sf0.001")
+    return extract_pipeline(pages).select(
+        "url", "status", "failure_class", "doc_hash", "format", "nbytes",
+        "num_items", "num_tables", "text", "md",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": _q_extract_text,
+        "extract_markdown": _q_extract_markdown,
+        "format_sniff": _q_format_sniff,
+        "doc_hash": _q_doc_hash,
+        "limits_gate": _q_limits_gate,
+        "unicode_clean": _q_unicode_clean,
+        "quality_score": _q_quality_score,
+        "quality_quantile": _q_quality_quantile,
+        "confidence_grade": _q_confidence_grade,
+        "status_counts": _q_status_counts,
+        "token_count": _q_token_count,
+        "langid": _q_langid,
+        "exact_dedup": _q_exact_dedup,
+        "reading_order_window": _q_reading_order_window,
+        "topk_per_lang": _q_topk_per_lang,
+        "lineitem_agg": _q_lineitem_agg,
+        "set_except": _q_set_except,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text": f"""
+WITH {SYNTH_PAGE_ORACLE_CTE}
+SELECT url, 'success' AS status, 2 AS num_items, expected_text AS text
+FROM web_pages
+""",
+        "extract_markdown": f"""
+WITH {SYNTH_PAGE_ORACLE_CTE}
+SELECT url, expected_md AS md FROM web_pages
+""",
+        "format_sniff": f"""
+WITH {_MIXED_CTE}
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'pdf' WHEN 1 THEN 'xml' WHEN 2 THEN 'html'
+         WHEN 3 THEN 'html' ELSE 'json' END AS format,
+       count(*) AS n
+FROM mixed GROUP BY 1
+""",
+        "doc_hash": f"""
+WITH {SYNTH_PAGE_ORACLE_CTE}
+SELECT url, sha256(CAST(html AS VARCHAR)) AS doc_hash FROM web_pages
+""",
+        "limits_gate": """
+SELECT (n_chars > 0 AND n_chars <= 300) AS valid, count(*) AS n
+FROM documents GROUP BY 1
+""",
+        "unicode_clean": f"""
+SELECT doc_id, {_CLEAN_SQL} AS cleaned FROM documents
+""",
+        "quality_score": f"""
+SELECT doc_id, {_QSCORE_SQL} AS q FROM documents
+""",
+        "quality_quantile": f"""
+SELECT source,
+       round(quantile_cont({_QSCORE_RAW_SQL}, 0.10), 6) AS q10,
+       round(avg({_QSCORE_RAW_SQL}), 6) AS q_mean
+FROM documents GROUP BY source
+""",
+        "confidence_grade": f"""
+WITH s AS (SELECT {_QSCORE_RAW_SQL} AS q FROM documents)
+SELECT CASE WHEN q < 0.5 THEN 'poor' WHEN q < 0.8 THEN 'fair'
+            WHEN q < 0.9 THEN 'good' ELSE 'excellent' END AS grade,
+       count(*) AS n
+FROM s GROUP BY 1
+""",
+        "status_counts": """
+SELECT CASE WHEN doc_id % 7 = 0 THEN 'failure' ELSE 'success' END AS status,
+       CASE WHEN doc_id % 7 = 0 THEN 'invalid_input' END AS failure_class,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+        "token_count": """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END::int AS n_tokens
+FROM documents
+""",
+        "langid": f"""
+SELECT doc_id, {_langid_sql("text")} AS lang_pred FROM documents
+""",
+        "exact_dedup": """
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+       min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+        "reading_order_window": """
+SELECT user_id, rk, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events) WHERE rk <= 3
+""",
+        "topk_per_lang": """
+SELECT lang, rk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) WHERE rk <= 3
+""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "set_except": """
+SELECT 'https://synth.test/doc/' || doc_id::varchar AS url
+FROM documents WHERE doc_id % 7 = 0
+""",
+    }

@@ -1,0 +1,114 @@
+"""Per-round benchmark: headline extraction throughput + operator queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "docs_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N]   (default 32)
+  BENCH_REPLICATE      fixture-corpus replication (default 400)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+
+def _force(df) -> None:
+    """Fully materialize a DataFrame without driver-side collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_fixture_parquet(spark, replicate: int) -> str:
+    """Write the replicated fixture corpus once; benches then *scan* it
+    (parquet → extract), matching the production read path."""
+    path = os.path.join(CACHE_DIR, f"fixtures_rep{replicate}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from docling_plus_spark.sources import fixture_corpus_df
+
+        df = fixture_corpus_df(spark, replicate=replicate, num_partitions=64)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "400"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import __spark_entry__ as e
+    from docling_plus_spark.plans import build_session, extract_pipeline
+    from docling_plus_spark.sources import synth_pages_from_documents
+
+    spark = build_session(f"local[{cpus}]", shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extract_docs = 0
+
+    # warm up JVM codegen + Python workers so the headline measures
+    # steady-state throughput, not cold start (a 1000-executor cluster
+    # amortizes startup over hours of input)
+    from docling_plus_spark.sources import fixture_corpus_df
+
+    _force(extract_pipeline(fixture_corpus_df(spark, replicate=2, num_partitions=cpus)))
+
+    # -- headline: extraction over the replicated reference-fixture corpus
+    fx_path = ensure_fixture_parquet(spark, replicate)
+    pages = spark.read.parquet(fx_path)
+    t0 = time.perf_counter()
+    out = extract_pipeline(pages, num_partitions=cpus * 4)
+    _force(out)
+    timings["extract_fixture_corpus"] = time.perf_counter() - t0
+    extract_docs += pages.count()
+
+    # -- extraction over the synth documents-derived corpus
+    sp = synth_pages_from_documents(spark, sf_dir)
+    t0 = time.perf_counter()
+    _force(extract_pipeline(sp, num_partitions=cpus * 2))
+    timings["extract_synth_docs"] = time.perf_counter() - t0
+    extract_docs += sp.count()
+
+    # -- operator queries from the driver contract (skip the two extraction
+    # ones already covered above at larger scale)
+    skip = {"extract_text", "extract_markdown", "status_counts", "set_except"}
+    for name, fn in e.queries().items():
+        if name in skip:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    extract_sec = (
+        timings["extract_fixture_corpus"] + timings["extract_synth_docs"]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+operator suite wall time (headline: docs/sec over replicated reference-HTML corpus + synth corpus)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "cpus": cpus,
+                "extract_docs": extract_docs,
+                "docs_per_sec": round(extract_docs / extract_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Pure-Column implementations of the reference's scalar operators.
+
+Reference parity (file:line in /root/reference):
+* sniff_format   — docling/docling/datamodel/document.py:612-649 content sniff
+* doc_hash       — docling/docling/utils/utils.py:19-44 (sha-256 identity)
+* unicode_clean  — docling/docling/backend/html_backend.py:1425-1463
+* quality_score  — docling/docling/models/page_preprocessing_model.py:30-35,120-145
+* token_count / langid / fingerprint — training-data-pipeline extensions over the
+  same text column (no reference analog; standard web-text curation ops)
+
+Design rule: everything here is a composition of built-in
+``pyspark.sql.functions`` so it stays JVM-side inside whole-stage codegen
+and each has a byte-equivalent ANSI-SQL twin (see
+``docling_plus_spark.plans.oracles``) runnable by DuckDB. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# the 19-entry replacement table of html_backend.py:1425-1463, as
+# (source-char, replacement) pairs applied in deterministic order.
+UNICODE_REPLACEMENTS: list[tuple[str, str]] = [
+    (" ", " "),   # nbsp
+    ("​", ""),    # zero-width space
+    ("‌", ""),    # zero-width non-joiner
+    ("‍", ""),    # zero-width joiner
+    ("‐", "-"),
+    ("‑", "-"),
+    ("‒", "-"),
+    ("–", "-"),   # en dash
+    ("—", "-"),   # em dash
+    ("―", "-"),
+    ("‘", "'"),
+    ("’", "'"),
+    ("“", '"'),
+    ("”", '"'),
+    ("…", "..."),  # ellipsis
+    ("­", ""),    # soft hyphen
+    ("﻿", ""),    # BOM
+    (" ", " "),   # narrow nbsp
+    ("⁠", ""),    # word joiner
+]
+
+
+def unicode_clean(col: Column) -> Column:
+    """Chained ``replace`` applying the reference's unicode table (P6)."""
+    out = col
+    for src, dst in UNICODE_REPLACEMENTS:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def doc_hash(binary_col: Column) -> Column:
+    """Stable document identity: sha-256 hex of the raw bytes (S3)."""
+    return F.lower(F.sha2(binary_col, 256))
+
+
+def _lenient_head(binary_col: Column, n: int = 1024) -> Column:
+    """UTF-8 decode of the first ``n`` bytes, never throwing.
+
+    Spark 4 ANSI `decode` raises on malformed input; web bytes are dirty.
+    ``try_cast(binary as string)`` yields NULL on malformed sequences, so
+    try four prefix lengths (a UTF-8 code point is ≤4 bytes — one of them
+    cannot end mid-character); genuinely malformed content → NULL, which
+    callers treat as "sniff inconclusive".
+    """
+    attempts = [
+        F.substring(binary_col, 1, n - i).try_cast("string") for i in range(4)
+    ]
+    return F.coalesce(*attempts)
+
+
+def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
+    """Content-sniff format detection over the first 1 KiB (S2).
+
+    Mirrors `_detect_html_xhtml` + magic-byte dispatch
+    (datamodel/document.py:488-548, :612-649): strip XML comments, lstrip;
+    XML declaration → html if 'xhtml' appears early else xml;
+    optional leading <script> then DOCTYPE/`<html|<head|<body` → html;
+    `%PDF` magic → pdf; JSON object sniff → json. Inconclusive content
+    falls back to the url extension (the reference's extension map,
+    document.py:586-610) when ``url_col`` is given, else 'text'.
+    """
+    head = F.lower(_lenient_head(binary_col, 1024))
+    # remove XML comments then lstrip (reference: document.py:626-628)
+    head = F.ltrim(F.regexp_replace(head, "(?s)<!--(.*?)-->", ""))
+    by_ext = F.lit("text")
+    if url_col is not None:
+        path = F.regexp_extract(url_col, "^[^?#]*", 0)
+        by_ext = (
+            F.when(path.rlike("(?i)\\.x?html?$"), F.lit("html"))
+            .when(path.rlike("(?i)\\.pdf$"), F.lit("pdf"))
+            .when(path.rlike("(?i)\\.xml$"), F.lit("xml"))
+            .when(path.rlike("(?i)\\.json$"), F.lit("json"))
+            .when(path.rlike("(?i)\\.(md|markdown)$"), F.lit("md"))
+            .otherwise(F.lit("text"))
+        )
+    return (
+        F.when(F.substring(head, 1, 5) == "%pdf-", F.lit("pdf"))
+        .when(
+            head.startswith("<?xml"),
+            F.when(F.substring(head, 1, 1000).contains("xhtml"), F.lit("html"))
+            .otherwise(F.lit("xml")),
+        )
+        .when(
+            head.rlike(
+                "(?s)^(<script.*?>.*?</script>\\s*)?(<!doctype\\s+html|<html|<head|<body)"
+            ),
+            F.lit("html"),
+        )
+        .when(head.rlike("^\\{"), F.lit("json"))
+        .otherwise(by_ext)
+    )
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count; 0 for blank strings."""
+    t = F.trim(text_col)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    ).cast("int")
+
+
+_GARBAGE_RE = "GLYPH<[0-9A-Fa-f]+>|/G\\d+|�"
+
+
+def quality_score(text_col: Column) -> Column:
+    """Text-quality rating in [0,1] (P7 analog on whole-document text).
+
+    Reference scores PDF cells by garbage-pattern regexes
+    (page_preprocessing_model.py:30-35); restated for a web-text column as
+    1 − garbage_chars/len, clamped, with blank text scoring 0.
+    """
+    t = text_col
+    n = F.length(t)
+    garbage = n - F.length(F.regexp_replace(t, _GARBAGE_RE, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - garbage.cast("double") / n.cast("double")
+    )
+
+
+# marker words per language for the rule-based language identifier.
+# Counting is done with the replace-length trick so the exact same SQL
+# runs on DuckDB (regexp word-boundary semantics differ across engines;
+# plain substring counting does not).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "es": [" el ", " la ", " los ", " que ", " es "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " les ", " est ", " une "],
+}
+
+
+def _marker_hits(padded: Column, markers: list[str]) -> Column:
+    total = F.lit(0)
+    for m in markers:
+        cnt = (
+            F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))
+        ) / F.lit(len(m))
+        total = total + cnt
+    return total.cast("long")
+
+
+def langid_expr(text_col: Column) -> Column:
+    """Rule-based language id over {en,es,de,fr} via stopword counting.
+
+    Deterministic tie-break: languages compared in fixed order, strict
+    ``>`` keeps the earlier language on ties; zero hits → 'und'.
+    """
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    scores = {lang: _marker_hits(padded, ms) for lang, ms in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
+
+
+def fingerprint_md5(text_col: Column) -> Column:
+    """Document fingerprint: md5 of the lower-cased alnum skeleton.
+
+    Normalization-stable identity for exact near-dup detection (whitespace,
+    punctuation and case changes don't alter the fingerprint).
+    """
+    return F.md5(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""))
+
+
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5 → bigint.
+
+    Cross-engine deterministic (DuckDB: ``('0x'||substr(md5(x),1,15))::ubigint``)
+    — the primitive under MinHash signatures and hash-partitioned ops whose
+    values must match the SQL oracle exactly.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

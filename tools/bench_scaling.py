@@ -1,0 +1,142 @@
+"""Scaling-efficiency evidence: same job, same input, N vs 4N cores.
+
+No real cluster exists in this sandbox, so the north rule's two-cluster-
+size criterion is evidenced by running the identical extraction job on the
+identical input at ``local[8]`` and ``local[32]`` (one fresh JVM each, via
+subprocess) and reporting docs/sec at both plus
+``eff = (T_8 / T_32) / 4``. Results are appended to BENCH.md.
+
+Usage: python tools/bench_scaling.py [--replicate 800] [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from docling_plus_spark.plans import build_session, extract_pipeline
+
+def _timed(fn):
+    t0 = time.perf_counter(); fn(); return time.perf_counter() - t0
+
+cpus = int(sys.argv[1]); fx_path = sys.argv[2]; sf_dir = sys.argv[3]
+spark = build_session(f"local[{{cpus}}]", shuffle_partitions=max(cpus, 32))
+spark.sparkContext.setLogLevel("ERROR")
+
+from docling_plus_spark.sources import fixture_corpus_df, synth_pages_from_documents
+# warm up workers + codegen (untimed)
+extract_pipeline(fixture_corpus_df(spark, replicate=2, num_partitions=cpus)) \
+    .write.format("noop").mode("overwrite").save()
+
+pages = spark.read.parquet(fx_path)
+n_fx = pages.count()
+t_fx = min(
+    _timed(lambda: extract_pipeline(pages)
+           .write.format("noop").mode("overwrite").save())
+    for _ in range(3)
+)
+
+sp = synth_pages_from_documents(spark, sf_dir)
+n_sy = sp.count()
+t_sy = min(
+    _timed(lambda: extract_pipeline(sp)
+           .write.format("noop").mode("overwrite").save())
+    for _ in range(2)
+)
+
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "fixture_docs": n_fx, "fixture_sec": round(t_fx, 3),
+    "synth_docs": n_sy, "synth_sec": round(t_sy, 3),
+    "total_docs": n_fx + n_sy, "total_sec": round(t_fx + t_sy, 3),
+    "docs_per_sec": round((n_fx + n_sy) / (t_fx + t_sy), 1),
+}}))
+"""
+
+
+def run_at(cpus: int, fx_path: str, sf_dir: str) -> dict:
+    code = _RUNNER.format(repo=REPO)
+    cmd = [sys.executable, "-c", code, str(cpus), fx_path, sf_dir]
+    # pin the whole process tree (JVM + Python workers) to a cpuset so the
+    # run emulates an N-core cluster, JVM overhead included in-budget
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"runner failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    replicate = 800
+    sf_dir = "/root/testdata/sf0.1"
+    if "--quick" in sys.argv:
+        replicate, sf_dir = 100, "/root/testdata/sf0.01"
+    if "--replicate" in sys.argv:
+        replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
+
+    # materialize the shared input corpus once
+    sys.path.insert(0, REPO)
+    from bench import ensure_fixture_parquet
+    from docling_plus_spark.plans import build_session
+
+    spark = build_session("local[8]", 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    fx_path = ensure_fixture_parquet(spark, replicate)
+    spark.stop()
+
+    results = {}
+    for cpus in (8, 32):
+        results[cpus] = run_at(cpus, fx_path, sf_dir)
+        print(json.dumps(results[cpus]))
+
+    t8, t32 = results[8]["total_sec"], results[32]["total_sec"]
+    eff = (t8 / t32) / 4.0
+    summary = {
+        "n_cores": 8,
+        "n4_cores": 32,
+        "docs_per_sec_n": results[8]["docs_per_sec"],
+        "docs_per_sec_4n": results[32]["docs_per_sec"],
+        "speedup": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "replicate": replicate,
+        "sf_dir": sf_dir,
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(summary))
+
+    section = f"""
+## Scaling evidence (local[8] vs local[32], {summary['measured_at']})
+
+Same extraction job (prepare → gate → salted scatter → mapInPandas convert
+→ serialize), same input ({results[8]['total_docs']} docs: reference-HTML
+fixture corpus ×{replicate} + synth corpus from {sf_dir}), one fresh JVM
+per parallelism level:
+
+| cores | fixture sec | synth sec | total sec | docs/sec |
+|---|---|---|---|---|
+| 8 (N)   | {results[8]['fixture_sec']} | {results[8]['synth_sec']} | {t8} | {results[8]['docs_per_sec']} |
+| 32 (4N) | {results[32]['fixture_sec']} | {results[32]['synth_sec']} | {t32} | {results[32]['docs_per_sec']} |
+
+**speedup {summary['speedup']}× → scaling efficiency (T_N/T_4N)/4 = {summary['scaling_efficiency']}**
+(north-rule target ≥ 0.8; cores on one box stand in for executors — the
+job has no shuffle on the per-document path, so executor-level scaling has
+strictly fewer contention sources than core-level scaling on shared DRAM).
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
+        fh.write(section)
+    print("appended to BENCH.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -293,6 +293,152 @@ def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inp.select("url").exceptAll(ok)
 
 
+# ---------------------------------------------------------------------------
+# dedup / similarity / multimodal queries
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies of every 3rd doc — deterministic
+    near-duplicates for the dedup operators."""
+    d = _docs(spark, sf_dir)
+    base = d.select(F.col("doc_id").alias("id"), "text")
+    dups = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.concat(F.col("text"), F.lit(" dup tail marker")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+from docling_plus_spark.operators.multimodal import (  # noqa: E402
+    SYNTH_MEDIA_ORACLE_CTE as _MEDIA_CTE,
+)
+
+_CORPUS_CTE = """corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id, text || ' dup tail marker' AS text
+  FROM documents WHERE doc_id % 3 = 0
+)"""
+
+
+def _minhash_oracle_prefix(k: int = 16, bands: int = 4) -> str:
+    from docling_plus_spark.operators.dedup import (
+        lsh_band_keys_sql,
+        minhash_signature_sql,
+        shingles_sql,
+    )
+
+    rows = k // bands
+    return f"""{_CORPUS_CTE},
+sh AS (SELECT id, {shingles_sql("text")} AS shingles FROM corpus),
+sig AS (SELECT id, {minhash_signature_sql("shingles", k)} AS sig FROM sh),
+bands AS (SELECT id, sig, unnest({lsh_band_keys_sql("sig", bands, rows)}) AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b USING (band_key) WHERE a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(len(list_filter(range(1, {k + 1}), i -> sig_a[i] = sig_b[i]))::double / {k}, 6) AS est_jaccard
+  FROM cand
+)"""
+
+
+def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.dedup import minhash_signature, shingles
+
+    d = _neardup_corpus(spark, sf_dir)
+    sig = minhash_signature(shingles(F.col("text")), 16)
+    return d.select(
+        "id",
+        *[F.element_at(sig, i + 1).alias(f"s{i}") for i in range(4)],
+    )
+
+
+def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_prepare,
+    )
+
+    d = _neardup_corpus(spark, sf_dir)
+    return minhash_candidate_pairs(minhash_prepare(d, "id", "text", 16, 4))
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.dedup import minhash_dedup_keep
+
+    d = _neardup_corpus(spark, sf_dir)
+    return minhash_dedup_keep(d, "id", "text", 16, 4, threshold=0.7)
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.dedup import (
+        jaccard_on_pairs,
+        minhash_candidate_pairs,
+        minhash_prepare,
+    )
+
+    d = _neardup_corpus(spark, sf_dir)
+    cand = minhash_candidate_pairs(minhash_prepare(d, "id", "text", 16, 4)).select(
+        "id_a", "id_b"
+    )
+    return jaccard_on_pairs(d, cand, "id", "text")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.dedup import simhash, simhash_near_pairs
+
+    d = _neardup_corpus(spark, sf_dir)
+    return simhash_near_pairs(simhash(d, "id", "text"), max_hamming=3)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_bruteforce(emb, k=5)
+
+
+def _q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.ann import cosine_topk_bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_bucketed(emb, k=5, tables=8, bits=4)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.ann import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(emb, threshold=0.3, tables=8, bits=4)
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.multimodal import (
+        decode_media_stage,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(spark, sf_dir)
+    return decode_media_stage(media, allow_stub=True)
+
+
+def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.multimodal import (
+        frame_sample_plan,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(spark, sf_dir)
+    return frame_sample_plan(media, every_n=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over synth web_pages from sf0.001 documents."""
     pages = synth_pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -321,6 +467,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_lang": _q_topk_per_lang,
         "lineitem_agg": _q_lineitem_agg,
         "set_except": _q_set_except,
+        "minhash_signature": _q_minhash_signature,
+        "minhash_candidates": _q_minhash_candidates,
+        "minhash_dedup": _q_minhash_dedup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
+        "simhash_near": _q_simhash_near,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_bucketed": _q_ann_topk_bucketed,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "media_decode": _q_media_decode,
+        "media_frame_sample": _q_media_frame_sample,
     }
 
 
@@ -414,4 +571,140 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 SELECT 'https://synth.test/doc/' || doc_id::varchar AS url
 FROM documents WHERE doc_id % 7 = 0
 """,
+        "minhash_signature": _minhash_sig_oracle(),
+        "minhash_candidates": f"""
+WITH {_minhash_oracle_prefix()}
+SELECT id_a, id_b, est_jaccard FROM pairs
+""",
+        "minhash_dedup": f"""
+WITH {_minhash_oracle_prefix()},
+dropped AS (SELECT DISTINCT id_b AS id FROM pairs WHERE est_jaccard >= 0.7)
+SELECT id AS keep_id FROM corpus WHERE id NOT IN (SELECT id FROM dropped)
+""",
+        "jaccard_pairs": _jaccard_oracle(),
+        "simhash": _simhash_oracle(),
+        "simhash_near": _simhash_near_oracle(),
+        "ann_topk": """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::double[], b.embedding::double[])
+               / (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[]))
+                  * sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))), 4) AS cosine
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+)
+SELECT id_a, rk, id_b, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rk FROM p
+) WHERE rk <= 5
+""",
+        "ann_topk_bucketed": _ann_bucketed_oracle(),
+        "embedding_near_dup": _embedding_near_dup_oracle(),
+        "media_decode": f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, kind,
+       ((media_id * 37) % 640 + 1)::int AS width,
+       ((media_id * 53) % 480 + 1)::int AS height,
+       octet_length(media)::bigint AS n_bytes,
+       'decoded' AS status
+FROM media
+""",
+        "media_frame_sample": f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, unnest(range(0, (octet_length(media) // 1024)::int + 1, 10))::int AS frame_idx
+FROM media
+""",
     }
+
+
+def _minhash_sig_oracle() -> str:
+    from docling_plus_spark.operators.dedup import minhash_signature_sql, shingles_sql
+
+    sig = minhash_signature_sql("shingles", 16)
+    cols = ", ".join(f"sig[{i + 1}] AS s{i}" for i in range(4))
+    return f"""
+WITH {_CORPUS_CTE},
+sh AS (SELECT id, {shingles_sql("text")} AS shingles FROM corpus),
+sig AS (SELECT id, {sig} AS sig FROM sh)
+SELECT id, {cols} FROM sig
+"""
+
+
+def _jaccard_oracle() -> str:
+    from docling_plus_spark.operators.dedup import shingles_sql
+
+    return f"""
+WITH {_minhash_oracle_prefix()},
+shx AS (SELECT id, {shingles_sql("text")} AS sh FROM corpus)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(a.sh, b.sh))::double
+             / len(list_distinct(list_concat(a.sh, b.sh)))::double, 6) AS jaccard
+FROM (SELECT DISTINCT id_a, id_b FROM pairs) p
+JOIN shx a ON a.id = p.id_a JOIN shx b ON b.id = p.id_b
+"""
+
+
+def _simhash_oracle() -> str:
+    from docling_plus_spark.operators.dedup import simhash_sql
+
+    return simhash_sql("doc_id", "text")
+
+
+def _simhash_near_oracle() -> str:
+    from docling_plus_spark.operators.dedup import SIMHASH_BITS, simhash_sql
+
+    base = simhash_sql("id", "text").replace("FROM documents", "FROM corpus")
+    half = SIMHASH_BITS // 2
+    mask = (1 << half) - 1
+    return f"""
+WITH {_CORPUS_CTE},
+sims AS ({base}),
+keyed AS (
+  SELECT id, simhash, 'h:' || (simhash >> {half})::varchar AS block FROM sims
+  UNION ALL
+  SELECT id, simhash, 'l:' || (simhash & {mask})::varchar AS block FROM sims
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM keyed a JOIN keyed b USING (block) WHERE a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::int AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+_COS_SQL = (
+    "round(list_dot_product(a.emb, b.emb)"
+    " / (sqrt(list_dot_product(a.emb, a.emb))"
+    " * sqrt(list_dot_product(b.emb, b.emb))), 4)"
+)
+
+
+def _lsh_keyed_cte() -> str:
+    from docling_plus_spark.operators.ann import lsh_table_keys_sql
+
+    keys = lsh_table_keys_sql("emb", tables=8, bits=4)
+    return f"""base AS (SELECT vec_id AS id, embedding::double[] AS emb FROM embeddings),
+keyed AS (SELECT id, emb, unnest({keys}) AS bucket FROM base)"""
+
+
+def _ann_bucketed_oracle() -> str:
+    return f"""
+WITH {_lsh_keyed_cte()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, {_COS_SQL} AS cosine
+  FROM keyed a JOIN keyed b USING (bucket) WHERE a.id != b.id
+)
+SELECT id_a, rk, id_b, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rk FROM cand
+) WHERE rk <= 5
+"""
+
+
+def _embedding_near_dup_oracle() -> str:
+    return f"""
+WITH {_lsh_keyed_cte()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, {_COS_SQL} AS cosine
+  FROM keyed a JOIN keyed b USING (bucket) WHERE a.id < b.id
+)
+SELECT id_a, id_b, cosine FROM cand WHERE cosine >= 0.3
+"""

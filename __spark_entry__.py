@@ -440,6 +440,101 @@ def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scalar-function operators (SURVEY §2.7) + event-time windows
+
+def _q_colspan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4: first numeric run of the attribute value, default 1
+    d = _docs(spark, sf_dir)
+    attr = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("3"))
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("abc"))
+        .otherwise(F.lit("12px"))
+    )
+    num = F.regexp_extract(attr, "(\\d+)", 1)
+    span = F.when(num == "", F.lit(1)).otherwise(num.cast("int"))
+    return d.select("doc_id", span.alias("colspan"))
+
+
+def _q_url_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5: protocol-relative → https; relative path → joined with base
+    d = _docs(spark, sf_dir)
+    href = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.concat(F.lit("//cdn.test/img/"), F.col("doc_id").cast("string")))
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.concat(F.lit("images/"), F.col("doc_id").cast("string"), F.lit(".png")))
+        .otherwise(F.concat(F.lit("https://abs.test/"), F.col("doc_id").cast("string")))
+    )
+    resolved = (
+        F.when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .when(href.rlike("^[a-z]+://"), href)
+        .otherwise(F.concat(F.lit("https://base.test/dir/"), href))
+    )
+    return d.select("doc_id", resolved.alias("resolved"))
+
+
+def _q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7: the reference's fuzzy-match test oracle
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.levenshtein(
+            F.substring("text", 1, 30), F.substring("text", 8, 30)
+        ).alias("lev"),
+    )
+
+
+def _q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F9: data-URI payload decode (Spark base64 is MIME-chunked — strip CRLF)
+    d = _docs(spark, sf_dir)
+    b64 = F.replace(
+        F.base64(F.encode(F.substring("text", 1, 100), "UTF-8")),
+        F.lit("\r\n"),
+        F.lit(""),
+    )
+    return d.select("doc_id", b64.alias("b64"))
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tumbling event-time window aggregation (streaming-analog batch twin)
+    e = _events(spark, sf_dir)
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session windows: a >30-min gap starts a new session (stateful-
+    # streaming analog expressed with window functions)
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PDF/layout path query: pages synthesized from `documents` (6-word lines,
 # 5-line paragraphs, fixture geometry), so the expected extraction output
 # is paragraphs of 30 words — SQL-expressible for the oracle.
@@ -535,6 +630,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract": _q_pdf_extract,
+        "colspan_parse": _q_colspan_parse,
+        "url_resolve": _q_url_resolve,
+        "levenshtein": _q_levenshtein,
+        "base64_roundtrip": _q_base64_roundtrip,
+        "events_window": _q_events_window,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -629,6 +730,60 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar AS url
 FROM documents WHERE doc_id % 7 = 0
 """,
         "pdf_extract": _PDF_EXTRACT_ORACLE,
+        "colspan_parse": """
+WITH a AS (
+  SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN '3' WHEN 1 THEN 'abc' ELSE '12px' END AS attr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN regexp_extract(attr, '([0-9]+)', 1) = '' THEN 1
+            ELSE regexp_extract(attr, '([0-9]+)', 1)::int END AS colspan
+FROM a
+""",
+        "url_resolve": """
+WITH h AS (
+  SELECT doc_id, CASE doc_id % 3
+    WHEN 0 THEN '//cdn.test/img/' || doc_id::varchar
+    WHEN 1 THEN 'images/' || doc_id::varchar || '.png'
+    ELSE 'https://abs.test/' || doc_id::varchar END AS href
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN href LIKE '//%' THEN 'https:' || href
+            WHEN regexp_matches(href, '^[a-z]+://') THEN href
+            ELSE 'https://base.test/dir/' || href END AS resolved
+FROM h
+""",
+        "levenshtein": """
+SELECT doc_id, levenshtein(substr(text, 1, 30), substr(text, 8, 30)) AS lev
+FROM documents
+""",
+        "base64_roundtrip": """
+SELECT doc_id, to_base64(encode(substr(text, 1, 100))) AS b64 FROM documents
+""",
+        "events_window": """
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::bigint AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts))::bigint - floor(epoch(lag(ts) OVER w))::bigint > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor(epoch(min(ts)))::bigint AS session_start
+FROM s GROUP BY user_id, session_id
+""",
         "minhash_signature": _minhash_sig_oracle(),
         "minhash_candidates": f"""
 WITH {_minhash_oracle_prefix()}

@@ -180,11 +180,19 @@ class TableData:
         return grid
 
     def to_dict(self) -> dict:
+        # grid cells serialize WITHOUT `ref` — docling-core renders the
+        # grid as plain TableCells even when table_cells are rich (observed
+        # in groundtruth html_heading_in_p.html.json)
+        def _grid_cell(c: TableCellModel) -> dict:
+            d = c.to_dict()
+            d.pop("ref", None)
+            return d
+
         return {
             "table_cells": [c.to_dict() for c in self.table_cells],
             "num_rows": self.num_rows,
             "num_cols": self.num_cols,
-            "grid": [[c.to_dict() for c in row] for row in self.grid()],
+            "grid": [[_grid_cell(c) for c in row] for row in self.grid()],
         }
 
 
@@ -206,6 +214,7 @@ class TableItem(NodeItem):
         out["references"] = []
         out["footnotes"] = []
         out["data"] = self.data.to_dict()
+        out["annotations"] = []
         return out
 
 
@@ -525,3 +534,12 @@ class DLDocument:
         from .serializers import export_to_text
 
         return export_to_text(self)
+
+    def export_to_json(self) -> str:
+        """Lossless DoclingDocument v1.8.0 JSON — byte-identical to the
+        reference's `save_as_json` output (verified against all 27 HTML
+        groundtruth .json fixtures): indent=2, ensure_ascii=False, no
+        trailing newline."""
+        import json
+
+        return json.dumps(self.export_to_dict(), indent=2, ensure_ascii=False)

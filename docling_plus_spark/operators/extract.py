@@ -42,6 +42,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("md", T.StringType()),
         T.StructField("itxt", T.StringType()),
+        T.StructField("doc_json", T.StringType()),
         T.StructField("extract_ms", T.DoubleType()),
     ]
 )
@@ -75,6 +76,7 @@ def _reject_rows(urls, reasons, passthrough: pd.DataFrame) -> pd.DataFrame:
             "text": [None] * n,
             "md": [None] * n,
             "itxt": [None] * n,
+            "doc_json": [None] * n,
             "extract_ms": [0.0] * n,
         }
     )
@@ -83,7 +85,7 @@ def _reject_rows(urls, reasons, passthrough: pd.DataFrame) -> pd.DataFrame:
     return res
 
 
-def _convert_chunk(urls, blobs, passthrough: pd.DataFrame) -> pd.DataFrame:
+def _convert_chunk(urls, blobs, passthrough: pd.DataFrame, include_json: bool) -> pd.DataFrame:
     # import inside the worker so the driver-side module graph stays lazy
     from docling_plus_spark.doc.document import TableItem
     from docling_plus_spark.doc.serializers import (
@@ -95,7 +97,7 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame) -> pd.DataFrame:
 
     out = {k: [] for k in (
         "url", "status", "failure_class", "error", "num_items",
-        "num_tables", "text", "md", "itxt", "extract_ms",
+        "num_tables", "text", "md", "itxt", "doc_json", "extract_ms",
     )}
     for url, blob in zip(urls, blobs):
         t0 = time.perf_counter()
@@ -115,6 +117,7 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame) -> pd.DataFrame:
             out["text"].append(export_to_text(doc))
             out["md"].append(export_to_markdown(doc))
             out["itxt"].append(export_to_element_tree(doc))
+            out["doc_json"].append(doc.export_to_json() if include_json else None)
         except Exception as exc:  # noqa: BLE001 — row status, not job failure
             out["url"].append(url)
             out["status"].append("failure")
@@ -125,6 +128,7 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame) -> pd.DataFrame:
             out["text"].append(None)
             out["md"].append(None)
             out["itxt"].append(None)
+            out["doc_json"].append(None)
         out["extract_ms"].append((time.perf_counter() - t0) * 1e3)
     res = pd.DataFrame(out)
     if len(passthrough.columns):
@@ -132,7 +136,7 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame) -> pd.DataFrame:
     return res
 
 
-def _extract_fn(max_batch_bytes: int, passthrough_cols: list, gated: bool):
+def _extract_fn(max_batch_bytes: int, passthrough_cols: list, gated: bool, include_json: bool):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if gated and len(pdf):
@@ -157,11 +161,11 @@ def _extract_fn(max_batch_bytes: int, passthrough_cols: list, gated: bool):
                 if acc >= max_batch_bytes and i + 1 > start:
                     yield _convert_chunk(
                         urls[start : i + 1], blobs[start : i + 1],
-                        extra.iloc[start : i + 1],
+                        extra.iloc[start : i + 1], include_json,
                     )
                     start, acc = i + 1, 0
             if start < len(blobs):
-                yield _convert_chunk(urls[start:], blobs[start:], extra.iloc[start:])
+                yield _convert_chunk(urls[start:], blobs[start:], extra.iloc[start:], include_json)
 
     return fn
 
@@ -172,6 +176,7 @@ def extract_stage(
     passthrough: tuple = (),
     convert_col: Optional[Column] = None,
     reject_reason_col: Optional[Column] = None,
+    include_json: bool = False,
 ) -> DataFrame:
     """(url, html, …) → EXTRACT_SCHEMA rows, one per input row.
 
@@ -199,7 +204,7 @@ def extract_stage(
         + [f for f in pages.schema.fields if f.name in passthrough]
     )
     return pages.select(*cols).mapInPandas(
-        _extract_fn(max_batch_bytes, list(passthrough), gated), schema
+        _extract_fn(max_batch_bytes, list(passthrough), gated, include_json), schema
     )
 
 

@@ -73,6 +73,7 @@ def extract_pipeline(
     num_partitions: Optional[int] = None,
     formats: tuple = ("html",),
     max_file_size: int = DEFAULT_MAX_FILE_SIZE,
+    include_json: bool = False,
 ) -> DataFrame:
     """Full pipeline: returns EXTRACT_SCHEMA ⋈ (doc_hash, format, nbytes).
 
@@ -94,6 +95,7 @@ def extract_pipeline(
         passthrough=("doc_hash", "format", "nbytes"),
         convert_col=convert,
         reject_reason_col=reason,
+        include_json=include_json,
     )
 
 

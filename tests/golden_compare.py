@@ -20,7 +20,7 @@ def compare(name: str, show_diff: bool = False) -> dict:
     data = (HTML_DIR / f"{name}.html").read_bytes()
     doc = convert_html(data, name=name, filename=f"{name}.html")
     results = {}
-    for ext, render in (("md", doc.export_to_markdown), ("itxt", doc.export_to_element_tree)):
+    for ext, render in (("md", doc.export_to_markdown), ("itxt", doc.export_to_element_tree), ("json", doc.export_to_json)):
         gold_path = GOLD_DIR / f"{name}.html.{ext}"
         if not gold_path.exists():
             results[ext] = None
@@ -54,14 +54,14 @@ def main() -> None:
             print(f"{name:32s} ERROR: {type(exc).__name__}: {exc}")
             total += 2
             continue
-        for ext in ("md", "itxt"):
+        for ext in ("md", "itxt", "json"):
             if res.get(ext) is None:
                 continue
             total += 1
             ok += bool(res[ext])
         status = " ".join(
             f"{ext}={'OK' if res.get(ext) else 'X' if res.get(ext) is not None else '-'}"
-            for ext in ("md", "itxt")
+            for ext in ("md", "itxt", "json")
         )
         print(f"{name:32s} {status}")
     print(f"\n{ok}/{total} artifacts byte-identical")

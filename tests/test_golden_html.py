@@ -58,6 +58,13 @@ def test_binary_hash_matches_reference(name, converted):
 
 
 @pytest.mark.parametrize("name", FIXTURES)
+def test_json_byte_identical(name, converted):
+    """Lossless DoclingDocument JSON (S10): byte-for-byte vs golden."""
+    gold = (GOLD_DIR / f"{name}.html.json").read_text()
+    assert converted(name).export_to_json() == gold
+
+
+@pytest.mark.parametrize("name", FIXTURES)
 def test_item_counts_match_reference_json(name, converted):
     import json
 

@@ -440,6 +440,70 @@ def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CSV-format path: synthesized .csv pages; extracted text is the
+# tab-joined grid, SQL-expressible for the oracle.
+
+def _q_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), " ")
+    body = F.concat(
+        F.lit("c1,c2,c3\n"),
+        F.element_at(w, 1), F.lit(","),
+        F.element_at(w, 2), F.lit(","),
+        F.element_at(w, 3), F.lit("\n"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://synth.test/t/"), F.col("doc_id").cast("string"), F.lit(".csv")).alias("url"),
+        F.timestamp_seconds(F.lit(0)).alias("warc_ts"),
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+    out = extract_pipeline(pages)
+    return out.select("url", "status", "format", "num_tables", "text")
+
+
+_CSV_EXTRACT_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+SELECT 'https://synth.test/t/' || doc_id::varchar || '.csv' AS url,
+       'success' AS status, 'csv' AS format, 1 AS num_tables,
+       'c1' || chr(9) || 'c2' || chr(9) || 'c3' || chr(10)
+         || ws[1] || chr(9) || ws[2] || chr(9) || ws[3] AS text
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markdown-format path: synthesized .md pages (title + paragraph + list);
+# extracted text is title/para/items joined by newlines.
+
+def _q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    body = F.concat(
+        F.lit("# Doc "), F.col("doc_id").cast("string"), F.lit("\n\n"),
+        F.trim(F.col("text")), F.lit("\n\n- first\n- second\n"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://synth.test/m/"), F.col("doc_id").cast("string"), F.lit(".md")).alias("url"),
+        F.timestamp_seconds(F.lit(0)).alias("warc_ts"),
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+    out = extract_pipeline(pages)
+    return out.select("url", "status", "format", "num_items", "text")
+
+
+_MD_EXTRACT_ORACLE = """
+SELECT 'https://synth.test/m/' || doc_id::varchar || '.md' AS url,
+       'success' AS status, 'md' AS format, 4 AS num_items,
+       'Doc ' || doc_id::varchar || chr(10) || trim(text)
+         || chr(10) || 'first' || chr(10) || 'second' AS text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # scalar-function operators (SURVEY §2.7) + event-time windows
 
 def _q_colspan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract": _q_pdf_extract,
+        "csv_extract": _q_csv_extract,
+        "md_extract": _q_md_extract,
         "colspan_parse": _q_colspan_parse,
         "url_resolve": _q_url_resolve,
         "levenshtein": _q_levenshtein,
@@ -730,6 +796,8 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar AS url
 FROM documents WHERE doc_id % 7 = 0
 """,
         "pdf_extract": _PDF_EXTRACT_ORACLE,
+        "csv_extract": _CSV_EXTRACT_ORACLE,
+        "md_extract": _MD_EXTRACT_ORACLE,
         "colspan_parse": """
 WITH a AS (
   SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN '3' WHEN 1 THEN 'abc' ELSE '12px' END AS attr

@@ -329,11 +329,19 @@ def _tabulate_github(headers: list, data: list) -> str:
                 }
             )
         else:
-            width = max([len(headers[c]) + 2] + [len(v) for v in values] + [0])
+            # tabulate measures visible width with wcswidth, which returns
+            # -1 for strings containing control chars (e.g. a literal tab
+            # inside a CSV cell) — those rows then get width+1 trailing
+            # spaces and don't contribute to the column width (observed in
+            # the csv-tab golden)
+            def vis(s: str) -> int:
+                return -1 if any(ch < " " for ch in s) else len(s)
+
+            width = max([len(headers[c]) + 2] + [vis(v) for v in values] + [0])
             out_cols.append(
                 {
                     "header": headers[c].ljust(width),
-                    "cells": [v.ljust(width) for v in values],
+                    "cells": [v + " " * (width - vis(v)) for v in values],
                     "width": width,
                 }
             )

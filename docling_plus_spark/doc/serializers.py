@@ -82,10 +82,10 @@ def _apply_formatting(text: str, item: TextItem) -> str:
 
 
 def _escape_md(text: str) -> str:
-    """docling-core markdown escaping: html entities + underscores."""
-    text = (
-        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    )
+    """docling-core markdown escaping: '&'/'<' html-entities and
+    underscores — but NOT '>' (evidence: wiki_duck.html.md:446 escapes a
+    plain-text '&' while the webvtt goldens keep '-->' timing lines raw)."""
+    text = text.replace("&", "&amp;").replace("<", "&lt;")
     return text.replace("_", "\\_")
 
 

@@ -10,4 +10,5 @@ here.
 
 from .csv_backend import convert_csv  # noqa: F401
 from .md_backend import convert_markdown  # noqa: F401
+from .vtt_backend import convert_vtt  # noqa: F401
 from .registry import CONVERTERS, convert_bytes  # noqa: F401

@@ -29,11 +29,13 @@ def _converters() -> dict:
 
     from .csv_backend import convert_csv
     from .md_backend import convert_markdown
+    from .vtt_backend import convert_vtt
 
     return {
         "html": convert_html,
         "csv": convert_csv,
         "md": convert_markdown,
+        "vtt": convert_vtt,
         "text": _convert_text,
     }
 

@@ -96,6 +96,7 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             .when(path.rlike("(?i)\\.json$"), F.lit("json"))
             .when(path.rlike("(?i)\\.(md|markdown)$"), F.lit("md"))
             .when(path.rlike("(?i)\\.csv$"), F.lit("csv"))
+            .when(path.rlike("(?i)\\.vtt$"), F.lit("vtt"))
             .otherwise(F.lit("text"))
         )
     return (
@@ -112,6 +113,9 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             F.lit("html"),
         )
         .when(head.rlike("^\\{"), F.lit("json"))
+        # WEBVTT signature: 'WEBVTT' then EOF/space/tab/LF (routing only —
+        # the vtt backend re-validates the signature case-sensitively)
+        .when(head.rlike("^webvtt([ \\t\\n]|$)"), F.lit("vtt"))
         .otherwise(by_ext)
     )
 

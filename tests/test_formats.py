@@ -1,20 +1,29 @@
-"""CSV/Markdown backends: golden parity (csv) + subset behavior (md) +
-mixed-format dispatch through the Spark extraction pipeline."""
+"""CSV/Markdown/WebVTT backends: golden parity (csv, vtt) + subset
+behavior (md) + mixed-format dispatch through the Spark extraction
+pipeline."""
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 from pathlib import Path
 
 import pytest
 
-from docling_plus_spark.formats import convert_bytes, convert_csv, convert_markdown
+from docling_plus_spark.formats import (
+    convert_bytes,
+    convert_csv,
+    convert_markdown,
+    convert_vtt,
+)
 
 CSV_DIR = Path("/root/reference/docling/tests/data/csv")
+VTT_DIR = Path("/root/reference/docling/tests/data/webvtt")
 GOLD_DIR = Path("/root/reference/docling/tests/data/groundtruth/docling_v2")
 
 CSV_FIXTURES = sorted(p.stem for p in CSV_DIR.glob("*.csv")) if CSV_DIR.exists() else []
+VTT_FIXTURES = sorted(p.stem for p in VTT_DIR.glob("*.vtt")) if VTT_DIR.exists() else []
 
 
 @pytest.mark.parametrize("name", CSV_FIXTURES)
@@ -36,6 +45,48 @@ def test_csv_golden_json_modulo_version(name):
     )
     mine = doc.export_to_json().replace('"version": "1.8.0"', '"version": "1.7.0"')
     assert mine == (GOLD_DIR / f"{name}.csv.json").read_text()
+
+
+@pytest.mark.parametrize("name", VTT_FIXTURES)
+def test_vtt_golden_md_itxt(name):
+    doc = convert_vtt(
+        (VTT_DIR / f"{name}.vtt").read_bytes(), name=name, filename=f"{name}.vtt"
+    )
+    assert doc.export_to_markdown() == (GOLD_DIR / f"{name}.vtt.md").read_text()
+    assert doc.export_to_element_tree() == (GOLD_DIR / f"{name}.vtt.itxt").read_text()
+
+
+@pytest.mark.parametrize("name", VTT_FIXTURES)
+def test_vtt_golden_json_tree(name):
+    # VTT goldens predate the 1.8.0 schema bump; compare parsed trees with
+    # the envelope (version/name/origin hash algo) normalized out.
+    doc = convert_vtt(
+        (VTT_DIR / f"{name}.vtt").read_bytes(), name=name, filename=f"{name}.vtt"
+    )
+    mine = json.loads(doc.export_to_json())
+    gold = json.loads((GOLD_DIR / f"{name}.vtt.json").read_text())
+    for key in ("schema_name", "version", "name", "origin"):
+        mine.pop(key, None)
+        gold.pop(key, None)
+    assert mine == gold
+
+
+def test_vtt_malformed_cues_dropped():
+    data = (
+        b"WEBVTT\n\n"
+        b"NOTE a comment\nstill the comment\n\n"
+        b"bad cue without timings\njust text\n\n"
+        b"00:02.000 --> 00:01.000\nend before start\n\n"
+        b"00:01.000 --> 00:02.000\nkept cue\n"
+    )
+    doc = convert_vtt(data)
+    texts = [t.text for t in doc.texts]
+    assert texts == ["00:01.000 --> 00:02.000", "kept cue"]
+
+
+def test_vtt_invalid_signature_raises():
+    with pytest.raises(ValueError):
+        convert_vtt(b"not a vtt file")
 
 
 def test_markdown_subset_structures():
@@ -98,6 +149,13 @@ def test_mixed_format_spark_dispatch():
         ("https://x.test/b.csv", None, b"h1,h2\nv1,v2\n", "", "en"),
         ("https://x.test/c.md", None, b"# Head\n\npara\n", "", "en"),
         ("https://x.test/d.pdf", None, b"%PDF-1.7 x", "", "en"),
+        (
+            "https://x.test/e.vtt",
+            None,
+            b"WEBVTT\n\n00:01.000 --> 00:02.000\n<v Ann>hello there\n",
+            "",
+            "en",
+        ),
     ]
     df = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -109,3 +167,6 @@ def test_mixed_format_spark_dispatch():
     md_row = out["https://x.test/c.md"]
     assert md_row["status"] == "success" and md_row["md"].startswith("# Head")
     assert out["https://x.test/d.pdf"]["failure_class"] == "unsupported_format:pdf"
+    vtt_row = out["https://x.test/e.vtt"]
+    assert vtt_row["status"] == "success"
+    assert vtt_row["text"] == "00:01.000 --> 00:02.000\nAnn: \nhello there"

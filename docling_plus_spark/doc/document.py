@@ -222,6 +222,10 @@ class TableItem(NodeItem):
 class PictureItem(NodeItem):
     label: str = "picture"
     captions: list = field(default_factory=list)
+    # ImageRef payload (mimetype/dpi/size/uri) kept as a raw dict — the
+    # engine never decodes images (SURVEY §2.10); carried for lossless
+    # docling-JSON round-trip
+    image: Optional[dict] = None
 
     def to_dict(self) -> dict:
         out: dict = {"self_ref": self.self_ref}
@@ -234,6 +238,8 @@ class PictureItem(NodeItem):
         out["captions"] = [{"$ref": r} for r in self.captions]
         out["references"] = []
         out["footnotes"] = []
+        if self.image is not None:
+            out["image"] = self.image
         out["annotations"] = []
         return out
 
@@ -519,6 +525,91 @@ class DLDocument:
             "form_items": [],
             "pages": {},
         }
+
+    @classmethod
+    def from_dict(cls, obj: dict) -> "DLDocument":
+        """Inverse of :meth:`export_to_dict` — lossless DoclingDocument
+        JSON import (reference: docling_json_backend.py's
+        ``DoclingDocument.model_validate_json``). Round-trip is
+        byte-identical: ``from_dict(json.loads(doc.export_to_json()))
+        .export_to_json() == doc.export_to_json()``."""
+        if obj.get("schema_name") != "DoclingDocument":
+            raise ValueError("not a DoclingDocument JSON payload")
+        origin = obj.get("origin") or {}
+        doc = cls(
+            name=obj.get("name", "file"),
+            filename=origin.get("filename", "file"),
+            binary_hash=origin.get("binary_hash", 0),
+            mimetype=origin.get("mimetype", "text/html"),
+        )
+
+        def _refs(node: dict) -> list:
+            return [c["$ref"] for c in node.get("children", [])]
+
+        def _parent(node: dict) -> Optional[str]:
+            p = node.get("parent")
+            return p["$ref"] if p else None
+
+        for g in obj.get("groups", []):
+            item = GroupItem(
+                self_ref=g["self_ref"], parent_ref=_parent(g),
+                children=_refs(g), content_layer=g["content_layer"],
+                name=g["name"], label=g["label"],
+            )
+            doc.groups.append(item)
+            doc._by_ref[item.self_ref] = item
+        for t in obj.get("texts", []):
+            fmt = t.get("formatting")
+            item = TextItem(
+                self_ref=t["self_ref"], parent_ref=_parent(t),
+                children=_refs(t), content_layer=t["content_layer"],
+                label=t["label"], text=t["text"], orig=t["orig"],
+                formatting=Formatting(**fmt) if fmt else None,
+                hyperlink=t.get("hyperlink"),
+                level=t.get("level"),
+                enumerated=t.get("enumerated"), marker=t.get("marker"),
+                code_language=t.get("code_language"),
+            )
+            doc.texts.append(item)
+            doc._by_ref[item.self_ref] = item
+        for p in obj.get("pictures", []):
+            item = PictureItem(
+                self_ref=p["self_ref"], parent_ref=_parent(p),
+                children=_refs(p), content_layer=p["content_layer"],
+                captions=[c["$ref"] for c in p.get("captions", [])],
+                image=p.get("image"),
+            )
+            doc.pictures.append(item)
+            doc._by_ref[item.self_ref] = item
+        for tb in obj.get("tables", []):
+            d = tb.get("data", {})
+            cells = [
+                TableCellModel(
+                    text=c["text"], row_span=c["row_span"], col_span=c["col_span"],
+                    start_row_offset_idx=c["start_row_offset_idx"],
+                    end_row_offset_idx=c["end_row_offset_idx"],
+                    start_col_offset_idx=c["start_col_offset_idx"],
+                    end_col_offset_idx=c["end_col_offset_idx"],
+                    column_header=c["column_header"], row_header=c["row_header"],
+                    row_section=c.get("row_section", False),
+                    ref=c["ref"]["$ref"] if c.get("ref") else None,
+                )
+                for c in d.get("table_cells", [])
+            ]
+            item = TableItem(
+                self_ref=tb["self_ref"], parent_ref=_parent(tb),
+                children=_refs(tb), content_layer=tb["content_layer"],
+                data=TableData(
+                    num_rows=d.get("num_rows", 0), num_cols=d.get("num_cols", 0),
+                    table_cells=cells,
+                ),
+                captions=[c["$ref"] for c in tb.get("captions", [])],
+            )
+            doc.tables.append(item)
+            doc._by_ref[item.self_ref] = item
+        doc.body.children = _refs(obj.get("body", {}))
+        doc.furniture.children = _refs(obj.get("furniture", {}))
+        return doc
 
     def export_to_element_tree(self) -> str:
         from .serializers import export_to_element_tree

@@ -8,7 +8,9 @@ implemented; csv and plain-text/markdown are stdlib-parsable and live
 here.
 """
 
+from .asciidoc_backend import convert_asciidoc  # noqa: F401
 from .csv_backend import convert_csv  # noqa: F401
+from .json_backend import convert_docling_json  # noqa: F401
 from .md_backend import convert_markdown  # noqa: F401
 from .vtt_backend import convert_vtt  # noqa: F401
 from .registry import CONVERTERS, convert_bytes  # noqa: F401

@@ -27,7 +27,9 @@ def _convert_text(data: bytes, name: str = "file", filename: str = "file.txt") -
 def _converters() -> dict:
     from docling_plus_spark.html import convert_html
 
+    from .asciidoc_backend import convert_asciidoc
     from .csv_backend import convert_csv
+    from .json_backend import convert_docling_json
     from .md_backend import convert_markdown
     from .vtt_backend import convert_vtt
 
@@ -36,6 +38,8 @@ def _converters() -> dict:
         "csv": convert_csv,
         "md": convert_markdown,
         "vtt": convert_vtt,
+        "asciidoc": convert_asciidoc,
+        "json": convert_docling_json,
         "text": _convert_text,
     }
 

@@ -97,6 +97,7 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             .when(path.rlike("(?i)\\.(md|markdown)$"), F.lit("md"))
             .when(path.rlike("(?i)\\.csv$"), F.lit("csv"))
             .when(path.rlike("(?i)\\.vtt$"), F.lit("vtt"))
+            .when(path.rlike("(?i)\\.(adoc|asciidoc)$"), F.lit("asciidoc"))
             .otherwise(F.lit("text"))
         )
     return (

@@ -535,6 +535,136 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# J1 cell→cluster assignment, relational framing: theta-join on bbox
+# overlap + argmax election (SURVEY §2.3 — per-page it runs in-UDF via
+# numpy; this query is the cross-page relational analog with an oracle).
+
+def _q_cell_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("word_idx"),
+        )
+        .withColumn("wl", (F.col("word_idx") * 60 + F.col("doc_id") % 7).cast("double"))
+        .withColumn("wt", ((F.col("doc_id") % 3) * 10).cast("double"))
+        .withColumn("wr", F.col("wl") + 40)
+        .withColumn("wb", F.col("wt") + 8)
+    )
+    clusters = (
+        d.select(
+            "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("cluster_id")
+        )
+        .withColumn("cl", (F.col("cluster_id") * 100).cast("double"))
+        .withColumn("ct", F.lit(0.0))
+        .withColumn(
+            "cr",
+            F.col("cl")
+            + F.when(F.col("cluster_id") == 0, F.lit(100.0)).otherwise(F.lit(120.0)),
+        )
+        .withColumn("cb", F.lit(30.0))
+    )
+    j = words.join(clusters, "doc_id")
+    iw = F.greatest(F.lit(0.0), F.least("wr", "cr") - F.greatest("wl", "cl"))
+    ih = F.greatest(F.lit(0.0), F.least("wb", "cb") - F.greatest("wt", "ct"))
+    ios = (iw * ih) / ((F.col("wr") - F.col("wl")) * (F.col("wb") - F.col("wt")))
+    j = j.withColumn("ios", F.round(ios, 6))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id", "word_idx").orderBy(
+            F.desc("ios"), F.col("cluster_id")
+        )
+    )
+    return (
+        j.withColumn("rk", rk)
+        .filter((F.col("rk") == 1) & (F.col("ios") >= 0.2))
+        .select("doc_id", "word_idx", "cluster_id", "ios")
+    )
+
+
+_CELL_CLUSTER_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+words AS (
+  SELECT doc_id, wi AS word_idx,
+         (wi*60 + doc_id % 7)::double AS wl,
+         ((doc_id % 3)*10)::double AS wt
+  FROM d, unnest([0, 1, 2]) AS t(wi)
+),
+w2 AS (SELECT *, wl + 40 AS wr, wt + 8 AS wb FROM words),
+clusters AS (
+  SELECT doc_id, ci AS cluster_id, (ci*100)::double AS cl, 0.0 AS ct,
+         CASE ci WHEN 0 THEN 100.0 ELSE 220.0 END AS cr, 30.0 AS cb
+  FROM d, unnest([0, 1]) AS t(ci)
+),
+j AS (
+  SELECT w2.doc_id, word_idx, cluster_id,
+         round(greatest(0.0, least(wr, cr) - greatest(wl, cl))
+               * greatest(0.0, least(wb, cb) - greatest(wt, ct))
+               / ((wr - wl) * (wb - wt)), 6) AS ios
+  FROM w2 JOIN clusters ON w2.doc_id = clusters.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, word_idx
+                               ORDER BY ios DESC, cluster_id) AS rk
+  FROM j
+)
+SELECT doc_id, word_idx, cluster_id, ios FROM r WHERE rk = 1 AND ios >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# list-marker normalization (SURVEY §2.7 F6)
+
+def _q_list_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.functions.expressions import normalize_list_marker
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    prefix = (
+        F.when(m == 0, F.lit("• ")).when(m == 1, F.lit("1. "))
+        .when(m == 2, F.lit("(2) ")).when(m == 3, F.lit("[3] "))
+        .when(m == 4, F.lit("a) ")).when(m == 5, F.lit("IV. "))
+        .otherwise(F.lit(""))
+    )
+    line = F.concat(prefix, F.substring(F.trim(F.col("text")), 1, 40))
+    marker, content, enumerated = normalize_list_marker(line)
+    return d.select(
+        F.col("doc_id"),
+        marker.alias("marker"),
+        content.alias("content"),
+        enumerated.alias("enumerated"),
+    )
+
+
+def _list_marker_oracle() -> str:
+    from docling_plus_spark.functions.expressions import (
+        LIST_BULLET_RE,
+        LIST_NUMBERED_RE,
+    )
+
+    b, n = LIST_BULLET_RE, LIST_NUMBERED_RE
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         (CASE doc_id % 7 WHEN 0 THEN '• ' WHEN 1 THEN '1. '
+           WHEN 2 THEN '(2) ' WHEN 3 THEN '[3] ' WHEN 4 THEN 'a) '
+           WHEN 5 THEN 'IV. ' ELSE '' END) || substr(trim(text), 1, 40) AS line
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(line, '{b}') THEN regexp_extract(line, '{b}', 1)
+            WHEN regexp_matches(line, '{n}') THEN regexp_extract(line, '{n}', 1)
+            ELSE '' END AS marker,
+       CASE WHEN regexp_matches(line, '{b}') THEN regexp_extract(line, '{b}', 2)
+            WHEN regexp_matches(line, '{n}') THEN regexp_extract(line, '{n}', 8)
+            ELSE line END AS content,
+       (NOT regexp_matches(line, '{b}')) AND regexp_matches(line, '{n}') AS enumerated
+FROM lines
+"""
+
+
+# ---------------------------------------------------------------------------
 # scalar-function operators (SURVEY §2.7) + event-time windows
 
 def _q_colspan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_extract": _q_csv_extract,
         "md_extract": _q_md_extract,
         "vtt_extract": _q_vtt_extract,
+        "list_marker": _q_list_marker,
+        "cell_cluster_assign": _q_cell_cluster_assign,
         "colspan_parse": _q_colspan_parse,
         "url_resolve": _q_url_resolve,
         "levenshtein": _q_levenshtein,
@@ -831,6 +963,8 @@ FROM documents WHERE doc_id % 7 = 0
         "csv_extract": _CSV_EXTRACT_ORACLE,
         "md_extract": _MD_EXTRACT_ORACLE,
         "vtt_extract": _VTT_EXTRACT_ORACLE,
+        "list_marker": _list_marker_oracle(),
+        "cell_cluster_assign": _CELL_CLUSTER_ORACLE,
         "colspan_parse": """
 WITH a AS (
   SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN '3' WHEN 1 THEN 'abc' ELSE '12px' END AS attr

@@ -27,15 +27,43 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: files per bench corpus. A production Iceberg table at 100 TB arrives
+#: pre-split into many ≤128 MB files; 128 files here reproduces that
+#: input-determined granularity so task count does NOT depend on the
+#: core count under test (multiple waves at every parallelism level).
+BENCH_INPUT_FILES = 128
+
+
 def ensure_fixture_parquet(spark, replicate: int) -> str:
     """Write the replicated fixture corpus once; benches then *scan* it
     (parquet → extract), matching the production read path."""
-    path = os.path.join(CACHE_DIR, f"fixtures_rep{replicate}.parquet")
+    path = os.path.join(
+        CACHE_DIR, f"fixtures_rep{replicate}_p{BENCH_INPUT_FILES}.parquet"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from docling_plus_spark.sources import fixture_corpus_df
 
-        df = fixture_corpus_df(spark, replicate=replicate, num_partitions=64)
+        df = fixture_corpus_df(
+            spark, replicate=replicate, num_partitions=BENCH_INPUT_FILES
+        )
         df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def ensure_synth_parquet(spark, sf_dir: str) -> str:
+    """Materialize the synth page table as a multi-file parquet.
+
+    The driver's documents.parquet is a single row group, which parquet
+    cannot split — reading it live would serialize the scan stage at any
+    core count. Round-robin into BENCH_INPUT_FILES files once, then every
+    bench run scans it like a production table."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(CACHE_DIR, f"synth_{tag}_p{BENCH_INPUT_FILES}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from docling_plus_spark.sources import synth_pages_from_documents
+
+        df = synth_pages_from_documents(spark, sf_dir)
+        df.repartition(BENCH_INPUT_FILES).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -75,8 +103,10 @@ def main() -> None:
     timings["extract_fixture_corpus"] = time.perf_counter() - t0
     extract_docs += pages.count()
 
-    # -- extraction over the synth documents-derived corpus
-    sp = synth_pages_from_documents(spark, sf_dir)
+    # -- extraction over the synth documents-derived corpus (materialized
+    # as a multi-file parquet: the driver's single-row-group file is not
+    # splittable and would serialize the scan)
+    sp = spark.read.parquet(ensure_synth_parquet(spark, sf_dir))
     t0 = time.perf_counter()
     _force(extract_pipeline(sp))
     timings["extract_synth_docs"] = time.perf_counter() - t0

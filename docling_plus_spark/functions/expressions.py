@@ -129,6 +129,46 @@ def token_count(text_col: Column) -> Column:
     ).cast("int")
 
 
+# -- list-marker normalization (F6) -----------------------------------------
+# Marker families of the reference ListItemMarkerProcessor
+# (docling-ibm-models/.../list_marker_processor.py:40-77), folded into two
+# engine-portable regexes (Java regex + DuckDB RE2 agree on these) so the
+# SAME string drives the Spark expression and the SQL oracle.
+LIST_BULLET_CLASS = (
+    "[-*+•·‣◦⁃⁌⁍∙▪▫"
+    "●○‣►▶▸➤➢✓✔✗✘]"
+)
+LIST_BULLET_RE = f"^({LIST_BULLET_CLASS})\\s(.+)"
+LIST_NUMBERED_RE = (
+    "^((\\(\\d+\\))|(\\[\\d+\\])|(\\d+[.)])"
+    "|([ivxlcdm]+\\.)|([IVXLCDM]+\\.)|([A-Za-z][.)]))\\s(.+)"
+)
+
+
+def normalize_list_marker(text_col: Column):
+    """F6: split a list-item's text into (marker, content, enumerated).
+
+    Reference: ListItemMarkerProcessor.process_text_item
+    (list_marker_processor.py:204-260) — bullets checked before numbered
+    families; non-matching text passes through with an empty marker.
+    Returns three columns, pure ``regexp_extract`` (no UDF).
+    """
+    is_bullet = text_col.rlike(LIST_BULLET_RE)
+    is_numbered = text_col.rlike(LIST_NUMBERED_RE)
+    marker = (
+        F.when(is_bullet, F.regexp_extract(text_col, LIST_BULLET_RE, 1))
+        .when(is_numbered, F.regexp_extract(text_col, LIST_NUMBERED_RE, 1))
+        .otherwise(F.lit(""))
+    )
+    content = (
+        F.when(is_bullet, F.regexp_extract(text_col, LIST_BULLET_RE, 2))
+        .when(is_numbered, F.regexp_extract(text_col, LIST_NUMBERED_RE, 8))
+        .otherwise(text_col)
+    )
+    enumerated = ~is_bullet & is_numbered
+    return marker, content, enumerated
+
+
 _GARBAGE_RE = "GLYPH<[0-9A-Fa-f]+>|/G\\d+|�"
 
 

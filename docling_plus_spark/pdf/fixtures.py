@@ -107,6 +107,52 @@ def make_two_column_doc(doc_idx: int, lines_per_col: int = 12):
     return [page], expected
 
 
+def make_table_doc(doc_idx: int, n_rows: int = 3, n_cols: int = 3):
+    """One page: an intro paragraph + an n_rows×n_cols table region.
+
+    Emits explicit clusters (one TEXT, one TABLE wrapper) the way a layout
+    model would; the TABLE's member word cells form an exact grid, so the
+    inferred structure (table_structure.py) has a construction oracle:
+    ``expected_grid[r][c] = cell text``.
+    """
+    cells, expected_grid = [], []
+    idx = 0
+    intro = f"table doc {doc_idx} intro."
+    cells.append({"index": idx, "text": intro, "l": 72.0, "t": 72.0,
+                  "r": 72.0 + CHAR_W * len(intro), "b": 72.0 + LINE_H})
+    idx += 1
+    x0, y0, col_w, row_h = 72.0, 140.0, 120.0, 20.0
+    for r in range(n_rows):
+        row_texts = []
+        for c in range(n_cols):
+            text = f"r{r}c{c} v{(doc_idx + r * n_cols + c) % 97}"
+            cells.append({
+                "index": idx, "text": text,
+                "l": x0 + c * col_w + 4.0, "t": y0 + r * row_h + 4.0,
+                "r": x0 + c * col_w + 4.0 + CHAR_W * len(text),
+                "b": y0 + r * row_h + 4.0 + LINE_H,
+            })
+            idx += 1
+            row_texts.append(text)
+        expected_grid.append(row_texts)
+    clusters = [
+        {"id": 0, "label": "text", "confidence": 0.95,
+         "l": 70.0, "t": 70.0, "r": 400.0, "b": 90.0},
+        {"id": 1, "label": "table", "confidence": 0.95,
+         "l": x0 - 4.0, "t": y0 - 4.0,
+         "r": x0 + n_cols * col_w + 4.0, "b": y0 + n_rows * row_h + 4.0},
+    ]
+    page = {
+        "url": f"https://synthpdf.test/table/{doc_idx}",
+        "page_no": 0,
+        "width": PAGE_W,
+        "height": PAGE_H,
+        "cells": cells,
+        "clusters": clusters,
+    }
+    return [page], (intro, expected_grid)
+
+
 def synth_pdf_pages(spark: SparkSession, n_docs: int = 20) -> DataFrame:
     """Mixed corpus: alternating single-column (2 pages) and two-column."""
     from .pipeline import PAGES_SCHEMA

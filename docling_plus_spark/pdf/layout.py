@@ -122,6 +122,15 @@ class LayoutPostprocessor:
     def postprocess(self) -> list:
         regular = self._process_regular()
         special = self._process_special(regular)
+        # regular clusters absorbed as wrapper children leave the top
+        # level (layout_postprocessor.py:226-234)
+        contained_ids = {
+            ch.id
+            for w in special
+            if w.label in SPECIAL_TYPES
+            for ch in w.children
+        }
+        regular = [c for c in regular if c.id not in contained_ids]
         final = regular + special
         return self._sort_clusters(final)
 

@@ -77,6 +77,9 @@ ELEMENTS_SCHEMA = T.StructType(
         T.StructField("b", T.DoubleType()),  # bottom-left origin
         T.StructField("r", T.DoubleType()),
         T.StructField("t", T.DoubleType()),
+        # TABLE elements: inferred TableData (compact JSON), else null —
+        # structure rides the doc shuffle, no driver-side side channel
+        T.StructField("table_json", T.StringType()),
     ]
 )
 
@@ -135,6 +138,11 @@ def _page_to_elements(row) -> list:
     out = []
     for k, cl in enumerate(post):
         lines = [c.text for c in sorted(cl.cells, key=lambda c: c.index)]
+        table_json = None
+        if cl.label == "table" and cl.cells:
+            from .table_structure import infer_table_structure, table_data_to_json
+
+            table_json = table_data_to_json(infer_table_structure(cl.cells))
         out.append(
             {
                 "url": row["url"],
@@ -148,6 +156,7 @@ def _page_to_elements(row) -> list:
                 "b": cl.bbox.b,
                 "r": cl.bbox.r,
                 "t": cl.bbox.t,
+                "table_json": table_json,
             }
         )
     return out
@@ -194,7 +203,10 @@ def elements_to_documents(elements: DataFrame, tables_by_url: dict | None = None
 
         url = key[0]
         try:
+            from .table_structure import table_data_from_json
+
             elems = []
+            inferred_tables: dict = {}
             # global cid: page-major, per-page order preserved
             pdf = pdf.sort_values(["page_no", "cid"]).reset_index(drop=True)
             for i, row in pdf.iterrows():
@@ -214,7 +226,11 @@ def elements_to_documents(elements: DataFrame, tables_by_url: dict | None = None
                         ),
                     )
                 )
-            tables = (tables_by_url or {}).get(url, {})
+                tj = row.get("table_json")
+                if tj:
+                    inferred_tables[int(i)] = table_data_from_json(tj)
+            # driver-provided structures override the inferred ones
+            tables = {**inferred_tables, **(tables_by_url or {}).get(url, {})}
             doc = assemble_document(elems, tables=tables, name=url.rsplit("/", 1)[-1])
             items = [i for i, _ in doc.iterate_items(doc.body, with_groups=False)]
             return pd.DataFrame(

@@ -27,11 +27,15 @@ from docling_plus_spark.plans import build_session, extract_pipeline
 def _timed(fn):
     t0 = time.perf_counter(); fn(); return time.perf_counter() - t0
 
-cpus = int(sys.argv[1]); fx_path = sys.argv[2]; sf_dir = sys.argv[3]
+cpus = int(sys.argv[1]); fx_path = sys.argv[2]; sy_path = sys.argv[3]
 spark = build_session(f"local[{{cpus}}]", shuffle_partitions=max(cpus, 32))
+# pin the split count to the input (as maxPartitionBytes does at 100 TB)
+# instead of defaultParallelism, so both parallelism levels see the SAME
+# 128 input splits → identical per-task work, multiple waves per level
+spark.conf.set("spark.sql.files.minPartitionNum", "128")
 spark.sparkContext.setLogLevel("ERROR")
 
-from docling_plus_spark.sources import fixture_corpus_df, synth_pages_from_documents
+from docling_plus_spark.sources import fixture_corpus_df
 # warm up workers + codegen (untimed)
 extract_pipeline(fixture_corpus_df(spark, replicate=2, num_partitions=cpus)) \
     .write.format("noop").mode("overwrite").save()
@@ -44,7 +48,7 @@ t_fx = min(
     for _ in range(3)
 )
 
-sp = synth_pages_from_documents(spark, sf_dir)
+sp = spark.read.parquet(sy_path)
 n_sy = sp.count()
 t_sy = min(
     _timed(lambda: extract_pipeline(sp)
@@ -85,19 +89,20 @@ def main() -> None:
     if "--replicate" in sys.argv:
         replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
 
-    # materialize the shared input corpus once
+    # materialize the shared input corpora once
     sys.path.insert(0, REPO)
-    from bench import ensure_fixture_parquet
+    from bench import ensure_fixture_parquet, ensure_synth_parquet
     from docling_plus_spark.plans import build_session
 
     spark = build_session("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
     fx_path = ensure_fixture_parquet(spark, replicate)
+    sy_path = ensure_synth_parquet(spark, sf_dir)
     spark.stop()
 
     results = {}
     for cpus in (8, 32):
-        results[cpus] = run_at(cpus, fx_path, sf_dir)
+        results[cpus] = run_at(cpus, fx_path, sy_path)
         print(json.dumps(results[cpus]))
 
     t8, t32 = results[8]["total_sec"], results[32]["total_sec"]
@@ -118,10 +123,11 @@ def main() -> None:
     section = f"""
 ## Scaling evidence (local[8] vs local[32], {summary['measured_at']})
 
-Same extraction job (prepare → gate → salted scatter → mapInPandas convert
-→ serialize), same input ({results[8]['total_docs']} docs: reference-HTML
-fixture corpus ×{replicate} + synth corpus from {sf_dir}), one fresh JVM
-per parallelism level:
+Same extraction job (prepare → gate → mapInPandas convert → serialize,
+shuffle-free), same input ({results[8]['total_docs']} docs over 128
+input-determined parquet splits: reference-HTML fixture corpus
+×{replicate} + synth corpus from {sf_dir}), one fresh JVM per
+parallelism level:
 
 | cores | fixture sec | synth sec | total sec | docs/sec |
 |---|---|---|---|---|

@@ -535,6 +535,415 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# array-expression operators over synthesized per-doc structures: the
+# [SQL-oracle]-tagged §2 rows P8/P9/P10 (cluster filters), A3 (bbox
+# envelope), A4 (table reindex + OTSL dims), O1/O2 (cell sort), O6
+# (chunkify) — pure array functions, no UDF, DuckDB list-function twins.
+
+def _q_cluster_filter_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 confidence-threshold filter + P9 TITLE→SECTION_HEADER remap +
+    P10 full-page-picture drop, as array expressions."""
+    d = _docs(spark, sf_dir)
+    conf = (F.col("doc_id") % 10).cast("double") / 10.0
+    area = (F.col("doc_id") % 20).cast("double") / 20.0
+    clusters = F.array(
+        F.struct(F.lit("title").alias("label"), conf.alias("conf"), F.lit(0.1).alias("area_frac")),
+        F.struct(F.lit("text").alias("label"), F.lit(0.9).alias("conf"), F.lit(0.2).alias("area_frac")),
+        F.struct(F.lit("picture").alias("label"), F.lit(0.8).alias("conf"), area.alias("area_frac")),
+    )
+    kept = F.filter(
+        clusters,
+        lambda c: (
+            c["conf"]
+            >= F.when(c["label"] == "title", F.lit(0.45)).otherwise(F.lit(0.5))
+        )
+        & ~((c["label"] == "picture") & (c["area_frac"] > 0.9)),
+    )
+    remapped = F.transform(
+        kept,
+        lambda c: F.struct(
+            F.when(c["label"] == "title", F.lit("section_header"))
+            .otherwise(c["label"])
+            .alias("label"),
+            c["conf"].alias("conf"),
+        ),
+    )
+    e = d.select("doc_id", F.explode(remapped).alias("c"))
+    return e.select(
+        "doc_id", F.col("c.label").alias("label"), F.round("c.conf", 2).alias("conf")
+    )
+
+
+_CLUSTER_FILTER_ORACLE = """
+WITH cand AS (
+  SELECT doc_id, 'title' AS label, (doc_id % 10)/10.0 AS conf, 0.1 AS area_frac FROM documents
+  UNION ALL SELECT doc_id, 'text', 0.9, 0.2 FROM documents
+  UNION ALL SELECT doc_id, 'picture', 0.8, (doc_id % 20)/20.0 FROM documents
+)
+SELECT doc_id,
+       CASE WHEN label = 'title' THEN 'section_header' ELSE label END AS label,
+       round(conf, 2) AS conf
+FROM cand
+WHERE conf >= (CASE WHEN label = 'title' THEN 0.45 ELSE 0.5 END)
+  AND NOT (label = 'picture' AND area_frac > 0.9)
+"""
+
+
+def _q_bbox_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: cluster bbox = min/max envelope over member-cell bboxes
+    (F.aggregate over an array column; layout_postprocessor.py:627-651)."""
+    d = _docs(spark, sf_dir)
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.struct(
+            (F.col("doc_id") % 7 + i * 50).cast("double").alias("l"),
+            (F.col("doc_id") % 5 + i * 12).cast("double").alias("b"),
+            (F.col("doc_id") % 7 + i * 50 + 40).cast("double").alias("r"),
+            (F.col("doc_id") % 5 + i * 12 + 10).cast("double").alias("t"),
+        ),
+    )
+    env = F.aggregate(
+        cells,
+        F.struct(
+            F.lit(float("inf")).alias("l"), F.lit(float("inf")).alias("b"),
+            F.lit(float("-inf")).alias("r"), F.lit(float("-inf")).alias("t"),
+        ),
+        lambda acc, c: F.struct(
+            F.least(acc["l"], c["l"]).alias("l"),
+            F.least(acc["b"], c["b"]).alias("b"),
+            F.greatest(acc["r"], c["r"]).alias("r"),
+            F.greatest(acc["t"], c["t"]).alias("t"),
+        ),
+    )
+    return d.select("doc_id", env.alias("env")).select(
+        "doc_id",
+        F.col("env.l").alias("env_l"), F.col("env.b").alias("env_b"),
+        F.col("env.r").alias("env_r"), F.col("env.t").alias("env_t"),
+    )
+
+
+_BBOX_ENVELOPE_ORACLE = """
+SELECT doc_id,
+       (doc_id % 7)::double AS env_l,
+       (doc_id % 5)::double AS env_b,
+       (doc_id % 7 + 3*50 + 40)::double AS env_r,
+       (doc_id % 5 + 3*12 + 10)::double AS env_t
+FROM documents
+"""
+
+
+def _q_table_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: gap-free row reindex — position in sorted distinct indices
+    (tf_predictor.py:507-571)."""
+    d = _docs(spark, sf_dir)
+    sparse = F.array(
+        (F.col("doc_id") % 3).cast("int"),
+        (F.col("doc_id") % 3 + 2).cast("int"),
+        (F.col("doc_id") % 3 + 2).cast("int"),
+        (F.col("doc_id") % 3 + 7).cast("int"),
+    )
+    uniq = F.array_sort(F.array_distinct(sparse))
+    reindexed = F.transform(sparse, lambda x: F.array_position(uniq, x).cast("int") - 1)
+    return d.select(
+        "doc_id",
+        F.size(uniq).alias("num_rows"),
+        F.concat_ws(",", F.transform(reindexed, lambda x: x.cast("string"))).alias("reindexed"),
+    )
+
+
+_TABLE_REINDEX_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         [(doc_id % 3)::int, (doc_id % 3 + 2)::int,
+          (doc_id % 3 + 2)::int, (doc_id % 3 + 7)::int] AS sparse
+  FROM documents
+),
+u AS (SELECT doc_id, sparse, list_sort(list_distinct(sparse)) AS uniq FROM s)
+SELECT doc_id, len(uniq) AS num_rows,
+       array_to_string(list_transform(sparse, x -> (list_position(uniq, x) - 1)::varchar), ',') AS reindexed
+FROM u
+"""
+
+
+def _q_otsl_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (OTSL form): num_rows = count of 'nl' tags, num_cols = tags
+    before the first 'nl' (otsl.py nl-counting)."""
+    d = _docs(spark, sf_dir)
+    ncols = (F.col("doc_id") % 3 + 2).cast("int")
+    row = F.concat(F.array_repeat(F.lit("fcel"), ncols), F.array(F.lit("nl")))
+    tags = F.flatten(F.array_repeat(row, (F.col("doc_id") % 4 + 1).cast("int")))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(tags, lambda t: t == "nl")).alias("num_rows"),
+        (F.array_position(tags, "nl") - 1).cast("int").alias("num_cols"),
+    )
+
+
+_OTSL_DIMS_ORACLE = """
+SELECT doc_id, (doc_id % 4 + 1)::bigint AS num_rows, (doc_id % 3 + 2)::int AS num_cols
+FROM documents
+"""
+
+
+def _q_cell_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: sort cells by native index via array_sort on structs
+    (layout_postprocessor.py:653-683)."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), " ")
+    cells = F.array(
+        F.struct(((F.col("doc_id") + 1) % 3).cast("int").alias("index"), F.element_at(w, 1).alias("text")),
+        F.struct(((F.col("doc_id") + 2) % 3).cast("int").alias("index"), F.element_at(w, 2).alias("text")),
+        F.struct(((F.col("doc_id") + 3) % 3).cast("int").alias("index"), F.element_at(w, 3).alias("text")),
+    )
+    ordered = F.array_sort(cells)
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(ordered, lambda c: c["text"])).alias("ordered_text"),
+    )
+
+
+_CELL_SORT_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id,
+         [struct_pack(idx := ((doc_id + 1) % 3)::int, txt := ws[1]),
+          struct_pack(idx := ((doc_id + 2) % 3)::int, txt := ws[2]),
+          struct_pack(idx := ((doc_id + 3) % 3)::int, txt := ws[3])] AS cells
+  FROM w
+)
+SELECT doc_id,
+       array_to_string(list_transform(list_sort(cells), x -> x.txt), ' ') AS ordered_text
+FROM c
+"""
+
+
+def _q_chunkify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: page-range slicing + chunkify (utils.py:11-16) via F.slice."""
+    d = _docs(spark, sf_dir)
+    pages = F.sequence(F.lit(0), (F.col("doc_id") % 7 + 3).cast("int"))
+    n = F.size(pages)
+    chunk0 = F.slice(pages, 1, 3)
+    chunk1 = F.slice(pages, 4, 3)
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(chunk0, lambda x: x.cast("string"))).alias("chunk0"),
+        F.concat_ws(",", F.transform(chunk1, lambda x: x.cast("string"))).alias("chunk1"),
+    )
+
+
+_CHUNKIFY_ORACLE = """
+WITH p AS (SELECT doc_id, range(0, doc_id % 7 + 4) AS pages FROM documents)
+SELECT doc_id,
+       array_to_string(list_transform(pages[1:3], x -> x::varchar), ',') AS chunk0,
+       array_to_string(list_transform(pages[4:6], x -> x::varchar), ',') AS chunk1
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6/J7/F3 window analogs over the events stream (document-order joins)
+
+def _q_caption_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 analog: captions bind to an adjacent table/picture in reading
+    order (reading_order_rb.py:586-704) — lag/lead window form."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    label = (
+        F.when(F.col("event_id") % 5 == 0, "table")
+        .when(F.col("event_id") % 5 == 1, "caption")
+        .when(F.col("event_id") % 5 == 3, "picture")
+        .otherwise("text")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select("user_id", "ts", "event_id", label.alias("label"))
+    d = d.withColumn("prev_label", F.lag("label").over(w)) \
+         .withColumn("prev_id", F.lag("event_id").over(w)) \
+         .withColumn("next_label", F.lead("label").over(w)) \
+         .withColumn("next_id", F.lead("event_id").over(w))
+    bound = F.when(
+        F.col("prev_label").isin("table", "picture"), F.col("prev_id")
+    ).when(F.col("next_label").isin("table", "picture"), F.col("next_id"))
+    return (
+        d.filter(F.col("label") == "caption")
+        .select("user_id", "event_id", bound.alias("bound_to"))
+    )
+
+
+_CAPTION_BINDING_ORACLE = """
+WITH lbl AS (
+  SELECT user_id, ts, event_id,
+         CASE event_id % 5 WHEN 0 THEN 'table' WHEN 1 THEN 'caption'
+              WHEN 3 THEN 'picture' ELSE 'text' END AS label
+  FROM events
+),
+wnd AS (
+  SELECT user_id, event_id, label,
+         lag(label) OVER w AS prev_label, lag(event_id) OVER w AS prev_id,
+         lead(label) OVER w AS next_label, lead(event_id) OVER w AS next_id
+  FROM lbl WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CASE WHEN prev_label IN ('table','picture') THEN prev_id
+            WHEN next_label IN ('table','picture') THEN next_id END AS bound_to
+FROM wnd WHERE label = 'caption'
+"""
+
+
+def _q_text_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 analog: merge a text run with the next when it ends [a-z,-] and
+    the next starts lowercase (reading_order_rb.py:175-216)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    first = F.substring(F.trim(F.col("text")), 1, 30)
+    line = F.when(F.col("doc_id") % 2 == 0, F.concat(first, F.lit("-"))).otherwise(first)
+    rows = d.select("doc_id", line.alias("line"))
+    w = Window.orderBy("doc_id")
+    rows = rows.withColumn("next_line", F.lead("line").over(w))
+    mergeable = (
+        F.col("next_line").isNotNull()
+        & F.col("line").rlike("[a-z,-]$")
+        & F.col("next_line").rlike("^[a-z]")
+    )
+    merged = F.when(
+        mergeable & F.col("line").endswith("-"),
+        F.concat(F.expr("substring(line, 1, length(line)-1)"), F.col("next_line")),
+    ).when(mergeable, F.concat(F.col("line"), F.lit(" "), F.col("next_line"))) \
+     .otherwise(F.col("line"))
+    return rows.select("doc_id", merged.alias("merged"))
+
+
+_TEXT_MERGE_ORACLE = """
+WITH l AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN substr(trim(text), 1, 30) || '-'
+              ELSE substr(trim(text), 1, 30) END AS line
+  FROM documents
+),
+wnd AS (
+  SELECT doc_id, line, lead(line) OVER (ORDER BY doc_id) AS next_line FROM l
+)
+SELECT doc_id,
+       CASE WHEN next_line IS NOT NULL AND regexp_matches(line, '[a-z,-]$')
+                 AND regexp_matches(next_line, '^[a-z]')
+            THEN CASE WHEN line LIKE '%-'
+                      THEN substr(line, 1, length(line)-1) || next_line
+                      ELSE line || ' ' || next_line END
+            ELSE line END AS merged
+FROM wnd
+"""
+
+
+def _q_inline_merge_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 analog: adjacent runs with equal formatting merge — lag compare
+    + running sum group id (html_backend.py:139-227)."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    fmt = F.when(F.col("event_id") % 3 == 0, "bold").otherwise("plain")
+    d = e.select("user_id", "ts", "event_id", fmt.alias("fmt"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change = F.when(
+        F.lag("fmt").over(w).isNull() | (F.lag("fmt").over(w) != F.col("fmt")), 1
+    ).otherwise(0)
+    d = d.withColumn("run_id", F.sum(change).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        d.groupBy("user_id", "run_id")
+        .agg(F.first("fmt").alias("fmt"), F.count("*").alias("run_len"))
+        .select("user_id", "run_id", "fmt", "run_len")
+    )
+
+
+_INLINE_MERGE_ORACLE = """
+WITH f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 3 = 0 THEN 'bold' ELSE 'plain' END AS fmt
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id, fmt,
+         CASE WHEN lag(fmt) OVER w IS NULL OR lag(fmt) OVER w != fmt
+              THEN 1 ELSE 0 END AS chg
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, fmt,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c
+)
+SELECT user_id, run_id, fmt, count(*) AS run_len
+FROM r GROUP BY user_id, run_id, fmt
+"""
+
+
+def _q_heading_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 analog: heading level as running max / last-heading carry over
+    document order (html_backend.py:959-1023 relational restatement)."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    level = F.when(F.col("event_id") % 11 == 0, 1).when(
+        F.col("event_id") % 7 == 0, 2
+    )
+    d = e.select("user_id", "ts", "event_id", level.alias("level"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        F.last("level", ignorenulls=True).over(w).alias("section_level"),
+    )
+
+
+_HEADING_HIERARCHY_ORACLE = """
+WITH l AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 11 = 0 THEN 1
+              WHEN event_id % 7 = 0 THEN 2 END AS level
+  FROM events
+)
+SELECT user_id, event_id,
+       last_value(level IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+       ) AS section_level
+FROM l
+"""
+
+
+def _q_list_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 analog: marker = start + position within list group
+    (html_backend.py:1025-1153)."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    group = (F.col("event_id") % 50).cast("bigint")
+    start = (group % 3 + 1).cast("bigint")
+    d = e.select("event_id", group.alias("list_group"), start.alias("start"))
+    w = Window.partitionBy("list_group").orderBy("event_id")
+    return d.select(
+        "event_id",
+        "list_group",
+        (F.col("start") + F.row_number().over(w) - 1).alias("marker_no"),
+    )
+
+
+_LIST_NUMBERING_ORACLE = """
+WITH g AS (
+  SELECT event_id, event_id % 50 AS list_group, (event_id % 50) % 3 + 1 AS start
+  FROM events
+)
+SELECT event_id, list_group,
+       start + row_number() OVER (PARTITION BY list_group ORDER BY event_id) - 1 AS marker_no
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # J1 cell→cluster assignment, relational framing: theta-join on bbox
 # overlap + argmax election (SURVEY §2.3 — per-page it runs in-UDF via
 # numpy; this query is the cross-page relational analog with an oracle).
@@ -860,6 +1269,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vtt_extract": _q_vtt_extract,
         "list_marker": _q_list_marker,
         "cell_cluster_assign": _q_cell_cluster_assign,
+        "cluster_filter_remap": _q_cluster_filter_remap,
+        "bbox_envelope": _q_bbox_envelope,
+        "table_reindex": _q_table_reindex,
+        "otsl_dims": _q_otsl_dims,
+        "cell_sort": _q_cell_sort,
+        "chunkify": _q_chunkify,
+        "caption_binding": _q_caption_binding,
+        "text_merge": _q_text_merge,
+        "inline_merge_runs": _q_inline_merge_runs,
+        "heading_hierarchy": _q_heading_hierarchy,
+        "list_numbering": _q_list_numbering,
         "colspan_parse": _q_colspan_parse,
         "url_resolve": _q_url_resolve,
         "levenshtein": _q_levenshtein,
@@ -965,6 +1385,17 @@ FROM documents WHERE doc_id % 7 = 0
         "vtt_extract": _VTT_EXTRACT_ORACLE,
         "list_marker": _list_marker_oracle(),
         "cell_cluster_assign": _CELL_CLUSTER_ORACLE,
+        "cluster_filter_remap": _CLUSTER_FILTER_ORACLE,
+        "bbox_envelope": _BBOX_ENVELOPE_ORACLE,
+        "table_reindex": _TABLE_REINDEX_ORACLE,
+        "otsl_dims": _OTSL_DIMS_ORACLE,
+        "cell_sort": _CELL_SORT_ORACLE,
+        "chunkify": _CHUNKIFY_ORACLE,
+        "caption_binding": _CAPTION_BINDING_ORACLE,
+        "text_merge": _TEXT_MERGE_ORACLE,
+        "inline_merge_runs": _INLINE_MERGE_ORACLE,
+        "heading_hierarchy": _HEADING_HIERARCHY_ORACLE,
+        "list_numbering": _LIST_NUMBERING_ORACLE,
         "colspan_parse": """
 WITH a AS (
   SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN '3' WHEN 1 THEN 'abc' ELSE '12px' END AS attr

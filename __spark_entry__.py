@@ -30,22 +30,26 @@ from docling_plus_spark.functions import (
 from docling_plus_spark.plans.pipeline import extract_pipeline
 from docling_plus_spark.sources.web_pages import (
     SYNTH_PAGE_ORACLE_CTE,
+    read_split,
     synth_pages_from_documents,
 )
 
 # ---------------------------------------------------------------------------
 # helpers
 
+# the driver's sf* tables are single-row-group parquet files, which
+# parquet cannot split — read through read_split so operator stages get
+# the session's full parallelism (see sources/web_pages.py:read_split)
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_split(spark, f"{sf_dir}/documents.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return read_split(spark, f"{sf_dir}/events.parquet")
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return read_split(spark, f"{sf_dir}/lineitem.parquet")
 
 
 # a deterministic mixed-format corpus for the sniffer: rotate doc_id%5
@@ -401,21 +405,21 @@ def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import cosine_topk_bruteforce
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     return cosine_topk_bruteforce(emb, k=5)
 
 
 def _q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import cosine_topk_bucketed
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     return cosine_topk_bucketed(emb, k=5, tables=8, bits=4)
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import embedding_near_dup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup(emb, threshold=0.3, tables=8, bits=4)
 
 
@@ -944,6 +948,48 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# §2.8 Structured Streaming surface: the same extraction over a file
+# stream (Trigger.AvailableNow), value-checked against the SAME oracle as
+# the batch path — stream/batch parity on one code path.
+
+def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from docling_plus_spark.streaming import run_stream_once
+
+    base = tempfile.mkdtemp(prefix="dps_stream_q_")
+    inp, outp, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    synth_pages_from_documents(spark, sf_dir).repartition(4).write.parquet(inp)
+    run_stream_once(spark, inp, outp, ckpt)
+    return spark.read.parquet(outp).select("url", "status", "num_items", "text")
+
+
+# ---------------------------------------------------------------------------
+# A7/A8: per-partition lineage rolled up to the deterministic grain
+# (status × failure_class) — partition ids and wall-ms are run-dependent,
+# doc counts and byte totals are not.
+
+def _q_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.plans.pipeline import lineage_metrics
+
+    out = extract_pipeline(synth_pages_from_documents(spark, sf_dir))
+    lm = lineage_metrics(out, epoch=3)
+    return lm.groupBy("epoch", "status", "failure_class").agg(
+        F.sum("docs").alias("docs"),
+        F.sum("input_bytes").alias("input_bytes"),
+    )
+
+
+_LINEAGE_ROLLUP_ORACLE = f"""
+WITH {SYNTH_PAGE_ORACLE_CTE}
+SELECT 3 AS epoch, 'success' AS status, NULL AS failure_class,
+       count(*) AS docs, sum(octet_length(html))::bigint AS input_bytes
+FROM web_pages
+"""
+
+
+# ---------------------------------------------------------------------------
 # J1 cell→cluster assignment, relational framing: theta-join on bbox
 # overlap + argmax election (SURVEY §2.3 — per-page it runs in-UDF via
 # numpy; this query is the cross-page relational analog with an oracle).
@@ -1280,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inline_merge_runs": _q_inline_merge_runs,
         "heading_hierarchy": _q_heading_hierarchy,
         "list_numbering": _q_list_numbering,
+        "lineage_rollup": _q_lineage_rollup,
+        "streaming_extract": _q_streaming_extract,
         "colspan_parse": _q_colspan_parse,
         "url_resolve": _q_url_resolve,
         "levenshtein": _q_levenshtein,
@@ -1396,6 +1444,12 @@ FROM documents WHERE doc_id % 7 = 0
         "inline_merge_runs": _INLINE_MERGE_ORACLE,
         "heading_hierarchy": _HEADING_HIERARCHY_ORACLE,
         "list_numbering": _LIST_NUMBERING_ORACLE,
+        "lineage_rollup": _LINEAGE_ROLLUP_ORACLE,
+        "streaming_extract": f"""
+WITH {SYNTH_PAGE_ORACLE_CTE}
+SELECT url, 'success' AS status, 2 AS num_items, expected_text AS text
+FROM web_pages
+""",
         "colspan_parse": """
 WITH a AS (
   SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN '3' WHEN 1 THEN 'abc' ELSE '12px' END AS attr

@@ -100,13 +100,29 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             .when(path.rlike("(?i)\\.(adoc|asciidoc)$"), F.lit("asciidoc"))
             .otherwise(F.lit("text"))
         )
+    # XML DOCTYPE disambiguation (reference: document.py:550-584) — the
+    # head is lowercased, so the doctype tokens are matched lowercase
+    doctype = F.regexp_extract(head, "<!doctype [^>]+>", 0)
+    uspto_doctype = (
+        doctype.contains("us-patent-application-v4")
+        | doctype.contains("us-patent-grant-v4")
+        | doctype.contains("us-grant-025")
+        | doctype.contains("patent-application-publication")
+    )
+    jats_doctype = doctype.contains("jats-journalpublishing") | doctype.contains(
+        "jats-archive"
+    )
     return (
         F.when(F.substring(head, 1, 5) == "%pdf-", F.lit("pdf"))
         .when(
             head.startswith("<?xml"),
             F.when(F.substring(head, 1, 1000).contains("xhtml"), F.lit("html"))
+            .when(uspto_doctype, F.lit("xml_uspto"))
+            .when(jats_doctype, F.lit("xml_jats"))
             .otherwise(F.lit("xml")),
         )
+        # plain-text USPTO "PATN" record (document.py:578-582)
+        .when(head.startswith("patn\r\n") | head.startswith("patn\n"), F.lit("xml_uspto"))
         .when(
             head.rlike(
                 "(?s)^(<script.*?>.*?</script>\\s*)?(<!doctype\\s+html|<html|<head|<body)"

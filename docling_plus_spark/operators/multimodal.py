@@ -55,7 +55,9 @@ FEATURES_SCHEMA = T.StructType(
 
 def synth_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake media table derived from ``documents``."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from docling_plus_spark.sources.web_pages import read_documents
+
+    d = read_documents(spark, sf_dir)
     w = (F.pmod(F.col("doc_id") * 37, F.lit(640)) + 1).cast("string")
     h = (F.pmod(F.col("doc_id") * 53, F.lit(480)) + 1).cast("string")
     payload = F.concat(F.lit("IMG:"), w, F.lit("x"), h, F.lit(":"), F.col("text"))

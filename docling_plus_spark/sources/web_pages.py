@@ -42,6 +42,26 @@ WEB_PAGES_SCHEMA = T.StructType(
 
 FIXTURE_DIR = "/root/reference/docling/tests/data/html"
 
+
+def read_split(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, re-spreading unsplittable inputs.
+
+    The driver's sf* tables are single-row-group files, which parquet
+    cannot split — every downstream stage would run on ONE task at any
+    core count. A real 100 TB table arrives as many ≤128 MB files and
+    needs no shuffle; for the single-file case a round-robin repartition
+    to the session's parallelism (a sub-MB exchange here) restores the
+    input-determined granularity the big table would have natively.
+    """
+    df = spark.read.parquet(path)
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_split(spark, os.path.join(sf_dir, "documents.parquet"))
+
 # Wrapper template used by synth_pages_from_documents. The <title> is
 # furniture (html_backend.py:300-309); everything before the first h1 is
 # furniture (html_backend.py:325-341); so extracted body text is exactly
@@ -51,7 +71,7 @@ _EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z
 
 def synth_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → (url, warc_ts, html, text, lang) page rows."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_documents(spark, sf_dir)
     body = F.concat(
         F.lit("<html><head><title>src "),
         F.col("source"),

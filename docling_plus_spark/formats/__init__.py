@@ -2,14 +2,15 @@
 
 Mirrors the reference's format-options registry
 (docling/docling/document_converter.py:148-175) as a ``format →
-converter`` dispatch consumed by the extraction stage. Backends that need
-binary parsers absent in this sandbox (docx/pptx/xlsx/images) are not
-implemented; csv and plain-text/markdown are stdlib-parsable and live
-here.
+converter`` dispatch consumed by the extraction stage. csv, markdown,
+webvtt, asciidoc, docling-JSON, and docx (stdlib zipfile+ElementTree —
+no python-docx in this sandbox) are implemented here; pptx/xlsx/images
+remain out of scope (their binary parsers are absent).
 """
 
 from .asciidoc_backend import convert_asciidoc  # noqa: F401
 from .csv_backend import convert_csv  # noqa: F401
+from .docx_backend import convert_docx  # noqa: F401
 from .json_backend import convert_docling_json  # noqa: F401
 from .md_backend import convert_markdown  # noqa: F401
 from .vtt_backend import convert_vtt  # noqa: F401

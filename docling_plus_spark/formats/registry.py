@@ -29,6 +29,7 @@ def _converters() -> dict:
 
     from .asciidoc_backend import convert_asciidoc
     from .csv_backend import convert_csv
+    from .docx_backend import convert_docx
     from .json_backend import convert_docling_json
     from .md_backend import convert_markdown
     from .vtt_backend import convert_vtt
@@ -39,6 +40,7 @@ def _converters() -> dict:
         "md": convert_markdown,
         "vtt": convert_vtt,
         "asciidoc": convert_asciidoc,
+        "docx": convert_docx,
         "json": convert_docling_json,
         "text": _convert_text,
     }

@@ -98,6 +98,7 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             .when(path.rlike("(?i)\\.csv$"), F.lit("csv"))
             .when(path.rlike("(?i)\\.vtt$"), F.lit("vtt"))
             .when(path.rlike("(?i)\\.(adoc|asciidoc)$"), F.lit("asciidoc"))
+            .when(path.rlike("(?i)\\.docx$"), F.lit("docx"))
             .otherwise(F.lit("text"))
         )
     # XML DOCTYPE disambiguation (reference: document.py:550-584) — the

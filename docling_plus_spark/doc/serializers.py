@@ -244,7 +244,9 @@ class _MarkdownWriter:
                 blocks = self._children_blocks(group)
                 joined = "\n\n".join(b for b in blocks if b)
                 return joined.replace("\n\n", "  ").replace("\n", " ")
-        return cell.text.strip().replace("\n", "  ")
+        # no strip: trailing spaces in cell text count toward tabulate's
+        # column width (observed in xlsx_01 'first ' header → width 8)
+        return cell.text.replace("\n", "  ")
 
     def _table_block(self, item: TableItem) -> str:
         data = item.data

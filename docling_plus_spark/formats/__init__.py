@@ -13,5 +13,7 @@ from .csv_backend import convert_csv  # noqa: F401
 from .docx_backend import convert_docx  # noqa: F401
 from .json_backend import convert_docling_json  # noqa: F401
 from .md_backend import convert_markdown  # noqa: F401
+from .pptx_backend import convert_pptx  # noqa: F401
 from .vtt_backend import convert_vtt  # noqa: F401
+from .xlsx_backend import convert_xlsx  # noqa: F401
 from .registry import CONVERTERS, convert_bytes  # noqa: F401

@@ -32,7 +32,9 @@ def _converters() -> dict:
     from .docx_backend import convert_docx
     from .json_backend import convert_docling_json
     from .md_backend import convert_markdown
+    from .pptx_backend import convert_pptx
     from .vtt_backend import convert_vtt
+    from .xlsx_backend import convert_xlsx
 
     return {
         "html": convert_html,
@@ -41,6 +43,8 @@ def _converters() -> dict:
         "vtt": convert_vtt,
         "asciidoc": convert_asciidoc,
         "docx": convert_docx,
+        "pptx": convert_pptx,
+        "xlsx": convert_xlsx,
         "json": convert_docling_json,
         "text": _convert_text,
     }

@@ -99,6 +99,8 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             .when(path.rlike("(?i)\\.vtt$"), F.lit("vtt"))
             .when(path.rlike("(?i)\\.(adoc|asciidoc)$"), F.lit("asciidoc"))
             .when(path.rlike("(?i)\\.docx$"), F.lit("docx"))
+            .when(path.rlike("(?i)\\.pptx$"), F.lit("pptx"))
+            .when(path.rlike("(?i)\\.(xlsx|xlsm)$"), F.lit("xlsx"))
             .otherwise(F.lit("text"))
         )
     # XML DOCTYPE disambiguation (reference: document.py:550-584) — the

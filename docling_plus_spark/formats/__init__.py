@@ -3,9 +3,10 @@
 Mirrors the reference's format-options registry
 (docling/docling/document_converter.py:148-175) as a ``format →
 converter`` dispatch consumed by the extraction stage. csv, markdown,
-webvtt, asciidoc, docling-JSON, and docx (stdlib zipfile+ElementTree —
-no python-docx in this sandbox) are implemented here; pptx/xlsx/images
-remain out of scope (their binary parsers are absent).
+webvtt, asciidoc, docling-JSON, and the OOXML family (docx/pptx/xlsx via
+stdlib zipfile+ElementTree — python-docx/pptx/openpyxl are absent in
+this sandbox) are implemented here; image formats remain out of scope
+(no decoder; the multimodal operators stub them explicitly).
 """
 
 from .asciidoc_backend import convert_asciidoc  # noqa: F401

@@ -50,17 +50,21 @@ def export_to_element_tree(doc: DLDocument) -> str:
             )
             for cap_ref in item.captions:
                 cap = doc.resolve(cap_ref)
+                # caption sub-lines print in full — only standalone items
+                # are abbreviated (observed in the JATS goldens)
                 lines.append(
                     f"{pad}  item-{ix} at level {level + 1}: caption: "
-                    f"{_itxt_text(cap.text)}"
+                    f"{cap.text}"
                 )
         elif isinstance(item, PictureItem):
             lines.append(f"{pad}item-{ix} at level {level}: {item.label}")
             for cap_ref in item.captions:
                 cap = doc.resolve(cap_ref)
+                # caption sub-lines print in full — only standalone items
+                # are abbreviated (observed in the JATS goldens)
                 lines.append(
                     f"{pad}  item-{ix} at level {level + 1}: caption: "
-                    f"{_itxt_text(cap.text)}"
+                    f"{cap.text}"
                 )
     return "\n".join(lines)
 

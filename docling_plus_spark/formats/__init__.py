@@ -12,6 +12,7 @@ this sandbox) are implemented here; image formats remain out of scope
 from .asciidoc_backend import convert_asciidoc  # noqa: F401
 from .csv_backend import convert_csv  # noqa: F401
 from .docx_backend import convert_docx  # noqa: F401
+from .jats_backend import convert_jats  # noqa: F401
 from .json_backend import convert_docling_json  # noqa: F401
 from .md_backend import convert_markdown  # noqa: F401
 from .pptx_backend import convert_pptx  # noqa: F401

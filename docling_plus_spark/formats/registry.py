@@ -30,6 +30,7 @@ def _converters() -> dict:
     from .asciidoc_backend import convert_asciidoc
     from .csv_backend import convert_csv
     from .docx_backend import convert_docx
+    from .jats_backend import convert_jats
     from .json_backend import convert_docling_json
     from .md_backend import convert_markdown
     from .pptx_backend import convert_pptx
@@ -46,6 +47,7 @@ def _converters() -> dict:
         "pptx": convert_pptx,
         "xlsx": convert_xlsx,
         "json": convert_docling_json,
+        "xml_jats": convert_jats,
         "text": _convert_text,
     }
 

@@ -16,6 +16,7 @@ from .jats_backend import convert_jats  # noqa: F401
 from .json_backend import convert_docling_json  # noqa: F401
 from .md_backend import convert_markdown  # noqa: F401
 from .pptx_backend import convert_pptx  # noqa: F401
+from .uspto_backend import convert_uspto  # noqa: F401
 from .vtt_backend import convert_vtt  # noqa: F401
 from .xlsx_backend import convert_xlsx  # noqa: F401
 from .registry import CONVERTERS, convert_bytes  # noqa: F401

@@ -34,6 +34,7 @@ def _converters() -> dict:
     from .json_backend import convert_docling_json
     from .md_backend import convert_markdown
     from .pptx_backend import convert_pptx
+    from .uspto_backend import convert_uspto
     from .vtt_backend import convert_vtt
     from .xlsx_backend import convert_xlsx
 
@@ -48,6 +49,7 @@ def _converters() -> dict:
         "xlsx": convert_xlsx,
         "json": convert_docling_json,
         "xml_jats": convert_jats,
+        "xml_uspto": convert_uspto,
         "text": _convert_text,
     }
 

@@ -124,17 +124,370 @@ class _ApsParser:
             self.store_content(section, key, value)
 
 
+# ---------------------------------------------------------------------------
+# ICE XML formats (Patent Grant/Application Full Text XML v4.x, Jan 2005+)
+# — reference: PatentUsptoIce (uspto_backend.py:167-501), styled-character
+# helpers (:1697-1905), OASIS exchange-model tables (:1400-1695)
+
+# 'a'/'o' map to the ordinal indicators ª/º (&#170;/&#186;), matching the
+# reference's entity table (uspto_backend.py:1707-1729)
+_SUPERSCRIPT_MAP = str.maketrans("1234567890+-−=()aoin", "¹²³⁴⁵⁶⁷⁸⁹⁰⁺⁻⁻⁼⁽⁾ªºⁱⁿ")
+_SUBSCRIPT_MAP = str.maketrans("1234567890+-−=()aeox", "₁₂₃₄₅₆₇₈₉₀₊₋₋₌₍₎ₐₑₒₓ")
+
+# ISO 8879 greek entity names → standard HTML entity names (subset used by
+# USPTO documents; reference lookup at uspto_backend.py:1813-1861)
+_ISO8879_GREEK = {
+    "Agr": "Alpha", "Bgr": "Beta", "Ggr": "Gamma", "Dgr": "Delta",
+    "Egr": "Epsilon", "Zgr": "Zeta", "EEgr": "Eta", "THgr": "Theta",
+    "Igr": "Iota", "Kgr": "Kappa", "Lgr": "Lambda", "Mgr": "Mu",
+    "Ngr": "Nu", "Xgr": "Xi", "Ogr": "Omicron", "Pgr": "Pi",
+    "Rgr": "Rho", "Sgr": "Sigma", "Tgr": "Tau", "Ugr": "Upsilon",
+    "PHgr": "Phi", "KHgr": "Chi", "PSgr": "Psi", "OHgr": "Omega",
+    "agr": "alpha", "bgr": "beta", "ggr": "gamma", "dgr": "delta",
+    "egr": "epsilon", "zgr": "zeta", "eegr": "eta", "thgr": "theta",
+    "igr": "iota", "kgr": "kappa", "lgr": "lambda", "mgr": "mu",
+    "ngr": "nu", "xgr": "xi", "ogr": "omicron", "pgr": "pi",
+    "rgr": "rho", "sgr": "sigma", "sfgr": "sigmaf", "tgr": "tau",
+    "ugr": "upsilon", "phgr": "phi", "khgr": "chi", "psgr": "psi",
+    "ohgr": "omega",
+}
+
+_TEXT_TAGS = {"abstract", "invention-title", "claim-text", "p", "heading",
+              "description-of-drawings", "sup", "sub"}
+_ALL_TAGS = _TEXT_TAGS | {"claims", "claim", "description", "table", "maths"}
+
+
+def _unescape_entity(name: str) -> str:
+    import html as _html
+
+    mapped = _ISO8879_GREEK.get(name, name)
+    out = _html.unescape(f"&{mapped};")
+    return "" if out == f"&{mapped};" else out
+
+
+class _IceHandler:
+    """SAX handler mirroring PatentUsptoIce.PatentHandler."""
+
+    def __init__(self, doc: DLDocument):
+        self.doc = doc
+        self.level = 1
+        self.parents: dict = {1: None}
+        self.property: list = []
+        self.claim = ""
+        self.claims: list = []
+        self.abstract = ""
+        self.text = ""
+
+    # sax interface ---------------------------------------------------------
+    def startElement(self, tag, attributes):
+        if tag not in _ALL_TAGS:
+            return
+        if (
+            tag == "claim-text"
+            and self.property
+            and self.property[-1] == tag
+            and self.text.strip()
+        ):
+            # claim lines may open before the previous one closes
+            self.claim += " " + self.text.strip()
+            self.text = ""
+        elif tag == "heading":
+            level_attr = attributes.get("level", "")
+            new_level = int(level_attr) if level_attr.isnumeric() else 1
+            max_level = min(self.parents.keys())
+            self.level = (
+                new_level + 1 if (new_level + 1) in self.parents else max_level
+            )
+        self.property.append(tag)
+
+    def characters(self, content):
+        if not self.property:
+            return
+        tag = self.property[-1]
+        if tag not in _TEXT_TAGS:
+            return
+        if tag in ("sup", "sub"):
+            if len(self.property) < 2 or self.property[-2] not in _TEXT_TAGS:
+                return
+            table = _SUPERSCRIPT_MAP if tag == "sup" else _SUBSCRIPT_MAP
+            self.text += content.translate(table)
+        else:
+            self.text += content
+
+    def skippedEntity(self, name):
+        unescaped = _unescape_entity(name)
+        if unescaped:
+            self.characters(unescaped)
+
+    def endElement(self, tag):
+        if tag not in _ALL_TAGS or not self.property:
+            return
+        current = self.property.pop()
+        self._add_property(current, self.text.strip())
+
+    # docling assembly (reference :382-480) -----------------------------------
+    def _add_property(self, name: str, text: str) -> None:
+        if name == "invention-title":
+            if text:
+                self.parents[self.level + 1] = self.doc.add_title(
+                    text=text, parent=self.parents[self.level]
+                )
+                self.level += 1
+            self.text = ""
+        elif name == "abstract":
+            if self.abstract:
+                level = _HEADING_LEVEL if _HEADING_LEVEL in self.parents else 1
+                heading = self.doc.add_heading(
+                    text="ABSTRACT", level=level, parent=self.parents[level]
+                )
+                self.doc.add_text(
+                    label="paragraph", text=self.abstract, parent=heading
+                )
+        elif name == "claim-text":
+            text = re.sub(r"\s+", " ", text).strip()
+            if text:
+                self.claim += " " + text
+            self.text = ""
+        elif name == "claim" and self.claim:
+            self.claims.append(self.claim.strip())
+            self.claim = ""
+        elif name == "claims" and self.claims:
+            level = _HEADING_LEVEL if _HEADING_LEVEL in self.parents else 1
+            heading = self.doc.add_heading(
+                text="CLAIMS", level=level, parent=self.parents[level]
+            )
+            for claim in self.claims:
+                self.doc.add_text(label="paragraph", text=claim, parent=heading)
+        elif name == "p" and text:
+            text = re.sub(r"\s+", " ", text)
+            if "abstract" in self.property:
+                self.abstract = (
+                    f"{self.abstract} {text}" if self.abstract else text
+                )
+            else:
+                self.doc.add_text(
+                    label="paragraph", text=text, parent=self.parents[self.level]
+                )
+            self.text = ""
+        elif name == "heading" and text:
+            self.parents[self.level + 1] = self.doc.add_heading(
+                text=text, level=self.level, parent=self.parents[self.level]
+            )
+            self.level += 1
+            self.text = ""
+        elif name == "table":
+            # placeholder; real data patched in from the raw-table pass
+            from docling_plus_spark.doc.document import TableData
+
+            self.doc.add_table(
+                data=TableData(num_rows=0, num_cols=0, table_cells=[]),
+                parent=self.parents[self.level],
+            )
+
+
+def _entity_free(xml_text: str) -> str:
+    """Resolve named entities so ElementTree can parse a table fragment."""
+    def sub(m):
+        name = m.group(1)
+        if name in ("amp", "lt", "gt", "quot", "apos"):
+            return m.group(0)
+        return _unescape_entity(name)
+
+    return re.sub(r"&([A-Za-z][A-Za-z0-9]*);", sub, xml_text)
+
+
+def _parse_cals_table(xml_text: str):
+    """OASIS exchange-model table → TableData (XmlTable, :1400-1695)."""
+    from xml.etree import ElementTree as ET
+
+    from docling_plus_spark.doc.document import TableCellModel, TableData
+
+    root = ET.fromstring(_entity_free(xml_text))
+    table = root if root.tag == "table" else root.find(".//table")
+    if table is None:
+        return None
+
+    tgroups = table.findall("tgroup")
+    # column offsets per tgroup from colspec widths
+    colinfo: dict = {}
+    for itg, tg in enumerate(tgroups):
+        widths, offsets, offst = [], [], 0
+        for cs in tg.findall("colspec"):
+            cw = re.sub("pt|mm", "", cs.get("colwidth", "0"), flags=re.I)
+            try:
+                cw = int(cw)
+            except ValueError:
+                cw = float(cw)
+            widths.append(cw)
+            offsets.append(offst)
+            offst += cw
+        offsets.append(offst)
+        colinfo[itg] = {
+            "offset": offsets, "colwidth": widths,
+            "cell_range": [], "cell_offst": [0],
+        }
+    if not colinfo:
+        return TableData(num_rows=0, num_cols=0, table_cells=[])
+
+    # unified offsets across tgroups, keeping zero-width column positions
+    min_offsets = colinfo[0]["offset"]
+    zero_width = []
+    for col in colinfo.values():
+        for ic, cw in enumerate(col["colwidth"]):
+            if cw == 0:
+                zero_width.append(col["offset"][ic])
+        min_offsets = sorted(set(col["offset"] + min_offsets))
+    min_offsets = sorted(min_offsets + list(set(zero_width)))
+    min_widths = [
+        min_offsets[i + 1] - min_offsets[i] for i in range(len(min_offsets) - 1)
+    ]
+
+    for col in colinfo.values():
+        i, range_ = 1, 1
+        for min_i in range(1, len(min_offsets)):
+            min_offst = min_offsets[min_i]
+            offst = col["offset"][i]
+            if min_offst == offst:
+                if len(col["offset"]) == i + 1 and len(min_offsets) > min_i + 1:
+                    range_ += 1
+                else:
+                    col["cell_range"].append(range_)
+                    col["cell_offst"].append(col["cell_offst"][-1] + range_)
+                    range_ = 1
+                    i += 1
+            elif min_offst < offst:
+                range_ += 1
+            else:
+                return TableData(num_rows=0, num_cols=0, table_cells=[])
+
+    ncols_max = len(min_widths)
+    cells: list = []
+    i_row = 0
+    for itg, tg in enumerate(tgroups):
+        tg_range = colinfo[itg]
+        for section in list(tg):  # thead / tbody (or bare rows)
+            if section.tag in ("row", "tr"):
+                rows = [(section, False)]
+            else:
+                is_header = section.tag == "thead"
+                rows = [
+                    (r, is_header)
+                    for r in section
+                    if r.tag in ("row", "tr")
+                ]
+            for row, is_header in rows:
+                entries = [e for e in row if e.tag in ("entry", "td")]
+                ncols = 0
+                local_row: list = []
+                row_empty = True
+                wrong_cols = False
+                for ientry, entry in enumerate(entries):
+                    text = "".join(entry.itertext()).strip()
+                    namest, nameend = entry.get("namest"), entry.get("nameend")
+                    start = (
+                        int(namest)
+                        if namest and namest.isnumeric()
+                        else ientry + 1
+                    )
+                    if nameend and nameend.isnumeric():
+                        end, shift = int(nameend), 0
+                    else:
+                        end, shift = ientry + 2, 1
+                    if end > len(tg_range["cell_offst"]):
+                        wrong_cols = True
+                        break
+                    rng = [
+                        tg_range["cell_offst"][start - 1],
+                        tg_range["cell_offst"][end - 1] - shift,
+                    ]
+                    if text:
+                        row_empty = False
+                    for _ in range(rng[0], rng[1] + 1):
+                        ncols += 1
+                        local_row.append(
+                            TableCellModel(
+                                column_header=is_header, text=text,
+                                start_row_offset_idx=i_row,
+                                end_row_offset_idx=i_row + 1, row_span=1,
+                                start_col_offset_idx=rng[0],
+                                end_col_offset_idx=rng[1] + 1,
+                                col_span=rng[1] - rng[0] + 1,
+                            )
+                        )
+                if wrong_cols:
+                    local_row, ncols = [], 0
+                for irep in range(ncols, ncols_max):
+                    local_row.append(
+                        TableCellModel(
+                            column_header=is_header, text="",
+                            start_row_offset_idx=i_row,
+                            end_row_offset_idx=i_row + 1, row_span=1,
+                            start_col_offset_idx=irep,
+                            end_col_offset_idx=irep + 1, col_span=1,
+                        )
+                    )
+                if not row_empty:
+                    cells.extend(local_row)
+                    i_row += 1
+    return TableData(num_rows=i_row, num_cols=ncols_max, table_cells=cells)
+
+
+_TABLE_RE = re.compile(r"^(<table .*?</table>)", re.MULTILINE | re.DOTALL)
+
+
+def _convert_ice(content: str, doc: DLDocument) -> None:
+    import xml.sax
+
+    handler_core = _IceHandler(doc)
+
+    class _Sax(xml.sax.handler.ContentHandler):
+        def startElement(self, tag, attrs):
+            handler_core.startElement(tag, attrs)
+
+        def endElement(self, tag):
+            handler_core.endElement(tag)
+
+        def characters(self, content):
+            handler_core.characters(content)
+
+        def skippedEntity(self, name):
+            handler_core.skippedEntity(name)
+
+    xml.sax.parseString(content.encode("utf-8"), _Sax())
+
+    # patch the placeholder tables from the raw-table extraction pass
+    parsed = []
+    for raw in _TABLE_RE.findall(content):
+        try:
+            table_data = _parse_cals_table(raw)
+            if table_data is not None:
+                parsed.append(table_data)
+        except Exception:  # noqa: BLE001 — broken table tolerated
+            continue
+    if len(parsed) == len(doc.tables):
+        for idx, data in enumerate(parsed):
+            doc.tables[idx].data = data
+
+
 def convert_uspto(data: bytes, name: str = "file", filename: str = "file.txt") -> DLDocument:
     content = data.decode("utf-8")
     first_line = content.split("\n", 1)[0]
-    if first_line.rstrip("\r") != "PATN":
-        raise ValueError(
-            "unsupported USPTO format (only the APS plain-text form is "
-            "implemented; XML patent formats are inventoried, not ported)"
+    head = content[:2048].lower()
+    if first_line.rstrip("\r") == "PATN":
+        doc = DLDocument(
+            name=name, filename=filename, binary_hash=binary_hash_of(data),
+            mimetype="text/plain",
         )
-    doc = DLDocument(
-        name=name, filename=filename, binary_hash=binary_hash_of(data),
-        mimetype="text/plain",
+        _ApsParser(doc).parse(content)
+        return doc
+    if "us-patent-application-v4" in head or "us-patent-grant-v4" in head:
+        doc = DLDocument(
+            name=name, filename=filename, binary_hash=binary_hash_of(data),
+            mimetype="application/xml",
+        )
+        _convert_ice(content, doc)
+        return doc
+    raise ValueError(
+        "unsupported USPTO format (APS text and ICE v4 XML are implemented; "
+        "Grant v2 / AppV1 XML are inventoried, not ported)"
     )
-    _ApsParser(doc).parse(content)
-    return doc

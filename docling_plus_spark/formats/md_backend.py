@@ -276,10 +276,22 @@ def convert_markdown(
             doc.add_table(data=table)
         table_buf = []
 
+    indented_code: list = []
+
+    def flush_indented() -> None:
+        # 4-space indented code block (CommonMark; blocks.md golden) —
+        # blank-only blocks are dropped like marko does
+        if indented_code:
+            text = "\n".join(indented_code)
+            if text.strip():
+                doc.add_code(text=text)
+            indented_code.clear()
+
     for line in lines:
         if in_code:
             if _FENCE_RE.match(line):
-                doc.add_code(text="\n".join(code_buf))
+                if "\n".join(code_buf).strip():  # empty fences dropped
+                    doc.add_code(text="\n".join(code_buf))
                 code_buf, in_code = [], False
             else:
                 code_buf.append(line)
@@ -296,6 +308,22 @@ def convert_markdown(
             open_list = None
             table_buf.append(line)
             continue
+        # setext headings: a paragraph followed by ===== (title) or -----
+        # (level-1 heading) — CommonMark, blocks.md golden
+        if para and re.match(r"^=+\s*$", line):
+            doc.add_title(text=" ".join(para))
+            para.clear()
+            continue
+        if para and re.match(r"^-+\s*$", line) and not _BULLET_RE.match(line):
+            doc.add_heading(text=" ".join(para), level=1)
+            para.clear()
+            continue
+        if re.match(r"^\s*(?:[-*+]|\d+[.)]|#{1,6})\s*$", line):
+            continue  # bare list markers / empty headings dropped (marko)
+        if line.startswith("    ") and not para and open_list is None and not table_buf:
+            indented_code.append(line[4:])
+            continue
+        flush_indented()
         flush_table()
         h = _HEADING_RE.match(line)
         if h:
@@ -322,13 +350,15 @@ def convert_markdown(
                 doc.add_list_item(text=b.group(2), marker="-", parent=open_list)
             continue
         if not line.strip():
+            flush_indented()
             _flush_para(doc, para)
             open_list = None
             continue
         open_list = None
         para.append(line.strip())
+    flush_indented()
     _flush_para(doc, para)
     flush_table()
-    if in_code and code_buf:
+    if in_code and code_buf and "\n".join(code_buf).strip():
         doc.add_code(text="\n".join(code_buf))
     return doc

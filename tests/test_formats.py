@@ -90,11 +90,10 @@ def test_vtt_invalid_signature_raises():
 
 
 MD_DIR = Path("/root/reference/docling/tests/data/md")
-# byte-identical set; the remaining three need marko-specific features
-# (setext headings / indented code in `blocks`, inline emphasis in
-# `inline_and_formatting`, the backslash-escape token split in
-# `mixed_without_h1`) — documented subset
-MD_PARITY = ["duck", "ending_with_table", "mixed", "nested", "wiki"]
+# byte-identical set; the remaining two need marko-specific features
+# (inline emphasis in `inline_and_formatting`, the backslash-escape
+# token split in `mixed_without_h1`) — documented subset
+MD_PARITY = ["blocks", "duck", "ending_with_table", "mixed", "nested", "wiki"]
 
 
 @pytest.mark.parametrize("name", MD_PARITY)

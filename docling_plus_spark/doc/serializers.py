@@ -97,7 +97,9 @@ def _inline_text(item: TextItem, with_hyperlink: bool = True) -> str:
     """Render one text item as inline markdown (marks + hyperlink)."""
     text = item.text
     if item.label == "code":
-        text = f"`{text}`"
+        # formatting wraps the backticks (inline_and_formatting golden:
+        # *`formatted_code`*)
+        text = _apply_formatting(f"`{text}`", item)
     else:
         text = _apply_formatting(_escape_md(text), item)
     if item.hyperlink and with_hyperlink:
@@ -184,13 +186,22 @@ class _MarkdownWriter:
 
     def _inline_group(self, group: GroupItem) -> str:
         parts: list[str] = []
-        for ref in group.children:
+        prefix = ""
+        for i, ref in enumerate(group.children):
             child = self.doc.resolve(ref)
             if isinstance(child, TextItem):
+                # a heading leading an inline group puts its marker in
+                # front of the whole joined line (md headings with mixed
+                # inline content)
+                if i == 0 and child.label == "title":
+                    prefix = "# "
+                elif i == 0 and child.label == "section_header":
+                    level = child.level if child.level is not None else 1
+                    prefix = "#" * (level + 1) + " "
                 parts.append(_inline_text(child))
             elif isinstance(child, PictureItem):
                 parts.append("<!-- image -->")
-        return " ".join(p for p in parts if p)
+        return prefix + " ".join(p for p in parts if p)
 
     def _list_blocks(self, group: GroupItem, indent: int = 0) -> list[str]:
         lines: list[str] = []
@@ -200,6 +211,27 @@ class _MarkdownWriter:
             child = self.doc.resolve(ref)
             if isinstance(child, GroupItem) and child.label == "list":
                 lines.extend(self._list_blocks(child, indent + 1))
+                continue
+            if isinstance(child, GroupItem) and child.label == "inline":
+                # a list item with mixed inline content leads an inline
+                # group under the list (md inline model): render one list
+                # line with the leading item's marker
+                members = [self.doc.resolve(r) for r in child.children]
+                texts = [m for m in members if isinstance(m, TextItem)]
+                if texts and texts[0].label == "list_item":
+                    enum_idx += 1
+                    lead = texts[0]
+                    marker = (
+                        (lead.marker or f"{enum_idx}.") if lead.enumerated else "-"
+                    )
+                    body = " ".join(
+                        p for p in (_inline_text(t) for t in texts) if p
+                    )
+                    lines.append(f"{pad}{marker} {body}")
+                else:
+                    joined = self._inline_group(child)
+                    if joined:
+                        lines.append(joined)
                 continue
             if isinstance(child, PictureItem):
                 for cap_ref in child.captions:

@@ -37,9 +37,20 @@ _MD_ESCAPE_RE = re.compile(r"\\([\\`*_{}\[\]()#+\-.!<>])")
 
 
 def _flush_para(doc: DLDocument, buf: list) -> None:
-    if buf:
-        doc.add_text(label="text", text=" ".join(buf))
-        buf.clear()
+    """Paragraph → one item, or an inline group when it holds several
+    inline elements (reference md_backend.py:483-487)."""
+    if not buf:
+        return
+    tokens = _parse_inline(" ".join(buf))
+    buf.clear()
+    if not tokens:
+        return
+    if len(tokens) == 1:
+        _add_inline_member(doc, tokens[0], None)
+    else:
+        group = doc.add_group(label="inline", name="group")
+        for tok in tokens:
+            _add_inline_member(doc, tok, group)
 
 
 # -- raw-HTML fallback (reference md_backend.py:568-609) ---------------------
@@ -71,7 +82,11 @@ def _inline_html(text: str) -> str:
                 # in the html backend pass (escaped_characters golden)
                 out.append(f"<code>{part.strip()}</code>")
             else:
-                part = _MD_ESCAPE_RE.sub(r"\1", part)
+                # a backslash-escaped char becomes its own inline token in
+                # marko, and tokens join with spaces ("2\\. strange" →
+                # "2 . strange" in the mixed_without_h1 golden)
+                part = _MD_ESCAPE_RE.sub(r" \1 ", part)
+                part = re.sub(r"\s+", " ", part)
                 part = _html.unescape(part)
                 out.append(_html.escape(part, quote=False))
         if j + 2 < len(link_parts):
@@ -216,6 +231,75 @@ def _markdown_to_html(lines: list, name: str) -> str:
     return "\n".join(out)
 
 
+# -- inline model (marko semantics; reference md_backend.py:346-438) ---------
+# tokens: dict(kind='text'|'code', text, bold, italic, hyperlink)
+
+_INLINE_SPLIT_RE = re.compile(
+    r"(\[[^\]]*\]\([^)\s]+\)"      # link
+    r"|`[^`]+`"                    # codespan
+    r"|\*\*\*[^*]+\*\*\*"          # strong+em
+    r"|\*\*[^*]+\*\*"              # strong
+    r"|\*[^*]+\*)"                 # em
+)
+_LINK_RE = re.compile(r"^\[([^\]]*)\]\(([^)\s]+)\)$")
+
+
+def _parse_inline(text: str, hyperlink=None) -> list:
+    tokens: list = []
+    for chunk in _INLINE_SPLIT_RE.split(text):
+        if not chunk or not chunk.strip():
+            continue
+        link = _LINK_RE.match(chunk)
+        if link:
+            tokens.extend(_parse_inline(link.group(1), hyperlink=link.group(2)))
+            continue
+        bold = italic = False
+        inner = chunk
+        if chunk.startswith("***") and chunk.endswith("***"):
+            bold = italic = True
+            inner = chunk[3:-3]
+        elif chunk.startswith("**") and chunk.endswith("**"):
+            bold = True
+            inner = chunk[2:-2]
+        elif chunk.startswith("*") and chunk.endswith("*") and len(chunk) > 1:
+            italic = True
+            inner = chunk[1:-1]
+        if inner.startswith("`") and inner.endswith("`"):
+            tokens.append(
+                {"kind": "code", "text": inner[1:-1].strip(), "bold": bold,
+                 "italic": italic, "hyperlink": hyperlink}
+            )
+            continue
+        inner = inner.strip()
+        if inner:
+            tokens.append(
+                {"kind": "text", "text": inner, "bold": bold, "italic": italic,
+                 "hyperlink": hyperlink}
+            )
+    return tokens
+
+
+def _token_formatting(tok):
+    from docling_plus_spark.doc.document import Formatting
+
+    if tok["bold"] or tok["italic"]:
+        return Formatting(bold=tok["bold"], italic=tok["italic"])
+    return None
+
+
+def _add_inline_member(doc: DLDocument, tok, parent) -> None:
+    if tok["kind"] == "code":
+        doc.add_code(
+            text=tok["text"], parent=parent, formatting=_token_formatting(tok),
+            hyperlink=tok["hyperlink"],
+        )
+    else:
+        doc.add_text(
+            label="text", text=tok["text"], parent=parent,
+            formatting=_token_formatting(tok), hyperlink=tok["hyperlink"],
+        )
+
+
 def convert_markdown(
     data: bytes, name: str = "file", filename: str = "file.md"
 ) -> DLDocument:
@@ -248,8 +332,17 @@ def convert_markdown(
         nonlocal table_buf
         if not table_buf:
             return
+        def _cell(c: str) -> str:
+            # emphasis markers are consumed during inline parsing, so md
+            # table cells lose them (inline_and_formatting golden)
+            return re.sub(
+                r"\*\*\*([^*]+)\*\*\*|\*\*([^*]+)\*\*|\*([^*]+)\*",
+                lambda m: m.group(1) or m.group(2) or m.group(3),
+                c.strip(),
+            )
+
         rows = [
-            [c.strip() for c in m.group(1).split("|")]
+            [_cell(c) for c in m.group(1).split("|")]
             for m in (_TABLE_ROW_RE.match(ln) for ln in table_buf)
             if m
         ]
@@ -330,10 +423,29 @@ def convert_markdown(
             _flush_para(doc, para)
             open_list = None
             level = len(h.group(1))
-            if level == 1:
-                doc.add_title(text=h.group(2))
-            else:
-                doc.add_heading(text=h.group(2), level=level - 1)
+            tokens = _parse_inline(h.group(2))
+
+            def _mk_heading(tok, parent=None):
+                kw = dict(
+                    text=tok["text"], parent=parent,
+                    formatting=_token_formatting(tok),
+                    hyperlink=tok["hyperlink"],
+                )
+                if level == 1:
+                    doc.add_title(**kw)
+                else:
+                    doc.add_heading(level=level - 1, **kw)
+
+            if len(tokens) == 1:
+                _mk_heading(tokens[0])
+            elif tokens:
+                # heading with mixed inline content: the first element
+                # becomes the heading item inside an inline group
+                # (reference creation-stack behavior, md_backend.py:487)
+                group = doc.add_group(label="inline", name="group")
+                _mk_heading(tokens[0], parent=group)
+                for tok in tokens[1:]:
+                    _add_inline_member(doc, tok, group)
             continue
         b = _BULLET_RE.match(line)
         o = _ORDERED_RE.match(line)
@@ -341,13 +453,30 @@ def convert_markdown(
             _flush_para(doc, para)
             if open_list is None:
                 open_list = doc.add_list_group()
-            if o:
+            enumerated = bool(o)
+            marker = f"{o.group(2)}." if o else "-"
+            tokens = _parse_inline(o.group(3) if o else b.group(2))
+            if len(tokens) == 1:
+                tok = tokens[0]
                 doc.add_list_item(
-                    text=o.group(3), enumerated=True, marker=f"{o.group(2)}.",
-                    parent=open_list,
+                    text=tok["text"], enumerated=enumerated, marker=marker,
+                    parent=open_list, formatting=_token_formatting(tok),
+                    hyperlink=tok["hyperlink"],
                 )
-            else:
-                doc.add_list_item(text=b.group(2), marker="-", parent=open_list)
+            elif tokens:
+                # mixed inline content: list item leads an inline group
+                # under the list (reference creation-stack behavior)
+                group = doc.add_group(
+                    label="inline", name="group", parent=open_list
+                )
+                tok = tokens[0]
+                doc.add_list_item(
+                    text=tok["text"], enumerated=enumerated, marker=marker,
+                    parent=group, formatting=_token_formatting(tok),
+                    hyperlink=tok["hyperlink"],
+                )
+                for tok in tokens[1:]:
+                    _add_inline_member(doc, tok, group)
             continue
         if not line.strip():
             flush_indented()

@@ -90,10 +90,12 @@ def test_vtt_invalid_signature_raises():
 
 
 MD_DIR = Path("/root/reference/docling/tests/data/md")
-# byte-identical set; the remaining two need marko-specific features
-# (inline emphasis in `inline_and_formatting`, the backslash-escape
-# token split in `mixed_without_h1`) — documented subset
-MD_PARITY = ["blocks", "duck", "ending_with_table", "mixed", "nested", "wiki"]
+# all byte-identical except escaped_characters (separate test: its golden
+# has the stale '>'-escaping vintage)
+MD_PARITY = [
+    "blocks", "duck", "ending_with_table", "inline_and_formatting", "mixed",
+    "mixed_without_h1", "nested", "wiki",
+]
 
 
 @pytest.mark.parametrize("name", MD_PARITY)

@@ -1,19 +1,25 @@
-"""USPTO patent documents → DLDocument (SURVEY §2.1 S9, uspto subset).
+"""USPTO patent documents → DLDocument (SURVEY §2.1 S9, uspto).
 
-Behavior-parity reimplementation of the reference's APS parser
-(docling/docling/backend/xml/uspto_backend.py:848-1062,
-PatentUsptoGrantAps) — the Patent Grant Full Text/APS plain-text format
-(1976-2001): two-column key/value records split on 2+ spaces, ABST/CLMS
-sections as ABSTRACT/CLAIMS headings, PAC captions as sibling headings,
-PAR/PA1-3 paragraphs, claim NUM/PAR accumulation, ``##STRn##``
-continuation lines dropped.
+Behavior-parity reimplementation of ALL FOUR reference patent parsers
+(docling/docling/backend/xml/uspto_backend.py):
 
-The reference's three XML patent formats (ICE grant/application v4,
-Grant v2, AppV1 — uspto_backend.py:167-1905) are SAX parsers over
-1,900 LoC of format-specific state; they are inventoried but not ported
-(documented subset). XML patent rows fail with a parse-failure status.
+* APS plain text, 1976-2001 (:848-1062) — two-column key/value records,
+  ABST/CLMS sections, PAC captions as sibling headings, claim NUM/PAR
+  accumulation, ``##STRn##`` continuation lines dropped;
+* ICE Grant/Application XML v4.x, 2005+ (:167-501) — SAX over
+  title/abstract/claims with heading-level stack, sup/sub styled
+  characters, ISO-8879 greek entities;
+* Grant XML v2.5, 2002-2004 (:503-846) — PDAT text carriers dispatched
+  by the enclosing wrapper, SP/SB/ITALIC (math-italic) styling;
+* Application Publications v1.x, 2001-2004 (:1063-1398).
 
-Verified byte-identical md+itxt against the reference's pftaps golden
+CALS exchange-model tables (:1400-1695) are extracted from the raw
+content in a second pass and patched into the placeholder table items;
+undefined entities in fragments are dropped the way the reference's
+lxml-recover re-parse drops them.
+
+Verified byte-identical md against all 5 reference USPTO goldens; itxt
+identical modulo the goldens' pre-abbreviation vintage
 (tests/test_formats.py).
 """
 
@@ -286,12 +292,15 @@ class _IceHandler:
 
 
 def _entity_free(xml_text: str) -> str:
-    """Resolve named entities so ElementTree can parse a table fragment."""
+    """Strip named non-XML entities from a table fragment — the reference
+    re-parses fragments with lxml-xml in recover mode, which DROPS
+    undefined entities (observed: 'ZEOCIN&trade;' → 'ZEOCIN' in the
+    pa20010031492 golden)."""
     def sub(m):
         name = m.group(1)
         if name in ("amp", "lt", "gt", "quot", "apos"):
             return m.group(0)
-        return _unescape_entity(name)
+        return ""
 
     return re.sub(r"&([A-Za-z][A-Za-z0-9]*);", sub, xml_text)
 
@@ -360,7 +369,10 @@ def _parse_cals_table(xml_text: str):
             else:
                 return TableData(num_rows=0, num_cols=0, table_cells=[])
 
-    ncols_max = len(min_widths)
+    # max over TGROUP colspec counts — not the unified offset grid
+    # (reference _get_max_ncols, uspto_backend.py:1510-1523); replicated
+    # span cells may exceed it and fall outside the rendered grid
+    ncols_max = max(len(c["colwidth"]) for c in colinfo.values())
     cells: list = []
     i_row = 0
     for itg, tg in enumerate(tgroups):
@@ -432,13 +444,289 @@ def _parse_cals_table(xml_text: str):
     return TableData(num_rows=i_row, num_cols=ncols_max, table_cells=cells)
 
 
+# mathematical-italic letters: sequential from U+1D434 for A..Z skipping X
+# (the reference's entity table omits it, uspto_backend.py:1756-1811) and
+# from U+1D44E for a..z
+_MATH_ITALIC_MAP = str.maketrans(
+    {
+        **{
+            ch: chr(119860 + i)
+            for i, ch in enumerate("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+            if ch != "X"
+        },
+        **{ch: chr(119886 + i) for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz")},
+    }
+)
+
+
+class _GrantV2Handler:
+    """SAX handler mirroring PatentUsptoGrantV2.PatentHandler
+    (uspto_backend.py:549-846) — Grant Full Text XML v2.5 (2002-2004).
+
+    PDAT elements carry all text; the enclosing wrapper at PDAT-end picks
+    the destination (title/abstract/claim/paragraph/heading) and the
+    SP/SB/ITALIC wrappers style it.
+    """
+
+    _TEXT_TAGS = {"PDAT", "PARA", "H"}
+    _ALL_TAGS = _TEXT_TAGS | {
+        "SDOAB", "SDOCL", "B540", "CL", "CLM", "DRWDESC", "SP", "SB",
+        "ITALIC", "CWU", "table",
+    }
+
+    def __init__(self, doc: DLDocument):
+        self.doc = doc
+        self.level = 1
+        self.parents: dict = {1: None}
+        self.property: list = []
+        self.text = ""
+        self.claim = ""
+        self.claims: list = []
+        self.paragraph = ""
+        self.abstract = ""
+
+    def startElement(self, tag, attributes):
+        if tag not in self._ALL_TAGS:
+            return
+        if tag == "H" and "SDOCL" not in self.property:
+            level_attr = attributes.get("LVL", "")
+            new_level = int(level_attr) if level_attr.isnumeric() else 1
+            max_level = min(self.parents.keys())
+            self.level = (
+                new_level + 1 if (new_level + 1) in self.parents else max_level
+            )
+        self.property.append(tag)
+
+    def characters(self, content):
+        if self.property and self.property[-1] in self._TEXT_TAGS:
+            self.text += content
+
+    def skippedEntity(self, name):
+        if self.property and self.property[-1] in self._TEXT_TAGS:
+            self.text += _unescape_entity(name)
+
+    def endElement(self, tag):
+        if tag not in self._ALL_TAGS or not self.property:
+            return
+        current = self.property.pop()
+        self._add_property(current, self.text)
+
+    @staticmethod
+    def _apply_style(text: str, style_tag: str) -> str:
+        if style_tag == "SP":
+            return text.translate(_SUPERSCRIPT_MAP)
+        if style_tag == "SB":
+            return text.translate(_SUBSCRIPT_MAP)
+        if style_tag == "ITALIC":
+            return text.translate(_MATH_ITALIC_MAP)
+        return text
+
+    def _add_property(self, name: str, text: str) -> None:
+        if name == "PDAT" and text:
+            if not self.property:
+                self.text = ""
+                return
+            text = self._apply_style(text, self.property[-1])
+            if "B540" in self.property and text.strip():
+                self.parents[self.level + 1] = self.doc.add_title(
+                    text=text.strip(), parent=self.parents[self.level]
+                )
+                self.level += 1
+            elif "SDOAB" in self.property:
+                self.abstract += text
+            elif "CLM" in self.property:
+                self.claim += text
+            elif (
+                "PARA" in self.property
+                and "CLM" not in self.property
+                and "SDOAB" not in self.property
+            ):
+                self.paragraph += text
+            elif (
+                "H" in self.property
+                and "SDOCL" not in self.property
+                and text.strip()
+            ):
+                self.parents[self.level + 1] = self.doc.add_heading(
+                    text=text.strip(), level=self.level,
+                    parent=self.parents[self.level],
+                )
+                self.level += 1
+            self.text = ""
+        elif name == "CLM" and self.claim.strip():
+            self.claims.append(self.claim.strip())
+            self.claim = ""
+        elif name == "CL" and self.claims:
+            level = _HEADING_LEVEL if _HEADING_LEVEL in self.parents else 1
+            heading = self.doc.add_heading(
+                text="CLAIMS", level=level, parent=self.parents[level]
+            )
+            for claim in self.claims:
+                self.doc.add_text(label="paragraph", text=claim, parent=heading)
+        elif name == "SDOAB" and self.abstract.strip():
+            level = _HEADING_LEVEL if _HEADING_LEVEL in self.parents else 1
+            heading = self.doc.add_heading(
+                text="ABSTRACT", level=level, parent=self.parents[level]
+            )
+            self.doc.add_text(
+                label="paragraph", text=self.abstract.strip(), parent=heading
+            )
+        elif name == "PARA":
+            paragraph = self.paragraph.strip()
+            if paragraph and "CLM" not in self.property:
+                self.doc.add_text(
+                    label="paragraph", text=paragraph,
+                    parent=self.parents[self.level],
+                )
+            elif "CLM" in self.property:
+                self.claim += " "  # space between claim paragraphs
+            self.paragraph = ""
+        elif name == "table":
+            from docling_plus_spark.doc.document import TableData
+
+            self.doc.add_table(
+                data=TableData(num_rows=0, num_cols=0, table_cells=[]),
+                parent=self.parents[self.level],
+            )
+
+
+class _AppV1Handler:
+    """SAX handler mirroring PatentUsptoAppV1.PatentHandler
+    (uspto_backend.py:1110-1398) — Application Publications v1.x
+    (2001-2004)."""
+
+    _TEXT_TAGS = {
+        "title-of-invention", "claim-text", "paragraph", "heading",
+        "superscript", "subscript",
+    }
+    _ALL_TAGS = _TEXT_TAGS | {
+        "brief-description-of-drawings", "subdoc-abstract", "subdoc-claims",
+        "claim", "number", "table", "math-cwu",
+    }
+
+    def __init__(self, doc: DLDocument):
+        self.doc = doc
+        self.level = 1
+        self.parents: dict = {1: None}
+        self.property: list = []
+        self.text = ""
+        self.claim = ""
+        self.claims: list = []
+        self.abstract = ""
+
+    def startElement(self, tag, attributes):
+        if tag not in self._ALL_TAGS:
+            return
+        if (
+            tag == "claim-text"
+            and self.property
+            and self.property[-1] == tag
+            and self.text.strip()
+        ):
+            self.claim += " " + self.text.strip("\n")
+            self.text = ""
+        elif tag == "heading":
+            level_attr = attributes.get("lvl", "")
+            new_level = int(level_attr) if level_attr.isnumeric() else 1
+            max_level = min(self.parents.keys())
+            self.level = (
+                new_level + 1 if (new_level + 1) in self.parents else max_level
+            )
+        self.property.append(tag)
+
+    def characters(self, content):
+        if not self.property:
+            return
+        tag = self.property[-1]
+        if tag not in self._TEXT_TAGS:
+            return
+        if tag in ("superscript", "subscript"):
+            if len(self.property) < 2 or self.property[-2] not in self._TEXT_TAGS:
+                return
+            table = _SUPERSCRIPT_MAP if tag == "superscript" else _SUBSCRIPT_MAP
+            self.text += content.translate(table)
+        else:
+            self.text += content
+
+    def skippedEntity(self, name):
+        unescaped = _unescape_entity(name)
+        if unescaped:
+            self.characters(unescaped)
+
+    def endElement(self, tag):
+        if tag not in self._ALL_TAGS or not self.property:
+            return
+        current = self.property.pop()
+        self._add_property(current, self.text)
+
+    def _add_property(self, name: str, text: str) -> None:
+        if name == "title-of-invention":
+            title = text.strip()
+            if title:
+                self.parents[self.level + 1] = self.doc.add_title(
+                    text=title, parent=self.parents[self.level]
+                )
+                self.level += 1
+            self.text = ""
+        elif name == "subdoc-abstract":
+            abstract = self.abstract.strip()
+            if abstract:
+                level = _HEADING_LEVEL if _HEADING_LEVEL in self.parents else 1
+                heading = self.doc.add_heading(
+                    text="ABSTRACT", level=level, parent=self.parents[level]
+                )
+                self.doc.add_text(
+                    label="paragraph", text=self.abstract, parent=heading
+                )
+                self.abstract = ""
+            self.text = ""
+        elif name == "claim-text":
+            if text:
+                self.claim += self.text.strip("\n")
+            self.text = ""
+        elif name == "claim":
+            claim = self.claim.strip()
+            if claim:
+                self.claims.append(claim)
+            self.claim = ""
+        elif name == "subdoc-claims" and self.claims:
+            level = _HEADING_LEVEL if _HEADING_LEVEL in self.parents else 1
+            heading = self.doc.add_heading(
+                text="CLAIMS", level=level, parent=self.parents[level]
+            )
+            for claim in self.claims:
+                self.doc.add_text(label="paragraph", text=claim, parent=heading)
+        elif name in ("paragraph", "heading"):
+            if text and "subdoc-abstract" in self.property:
+                self.abstract = (self.abstract + text) if self.abstract else text
+            elif text.strip():
+                text = re.sub(r"\s+", " ", text).strip()
+                if name == "heading":
+                    self.parents[self.level + 1] = self.doc.add_heading(
+                        text=text, level=self.level,
+                        parent=self.parents[self.level],
+                    )
+                    self.level += 1
+                else:
+                    self.doc.add_text(
+                        label="paragraph", text=text,
+                        parent=self.parents[self.level],
+                    )
+            self.text = ""
+        elif name == "table":
+            from docling_plus_spark.doc.document import TableData
+
+            self.doc.add_table(
+                data=TableData(num_rows=0, num_cols=0, table_cells=[]),
+                parent=self.parents[self.level],
+            )
+
+
 _TABLE_RE = re.compile(r"^(<table .*?</table>)", re.MULTILINE | re.DOTALL)
 
 
-def _convert_ice(content: str, doc: DLDocument) -> None:
+def _convert_sax(handler_core, content: str, doc: DLDocument) -> None:
     import xml.sax
-
-    handler_core = _IceHandler(doc)
 
     class _Sax(xml.sax.handler.ContentHandler):
         def startElement(self, tag, attrs):
@@ -480,14 +768,18 @@ def convert_uspto(data: bytes, name: str = "file", filename: str = "file.txt") -
         )
         _ApsParser(doc).parse(content)
         return doc
+    handler_cls = None
     if "us-patent-application-v4" in head or "us-patent-grant-v4" in head:
+        handler_cls = _IceHandler
+    elif "us-grant-025" in head:
+        handler_cls = _GrantV2Handler
+    elif "patent-application-publication" in head and "pap-v1" in head:
+        handler_cls = _AppV1Handler
+    if handler_cls is not None:
         doc = DLDocument(
             name=name, filename=filename, binary_hash=binary_hash_of(data),
             mimetype="application/xml",
         )
-        _convert_ice(content, doc)
+        _convert_sax(handler_cls(doc), content, doc)
         return doc
-    raise ValueError(
-        "unsupported USPTO format (APS text and ICE v4 XML are implemented; "
-        "Grant v2 / AppV1 XML are inventoried, not ported)"
-    )
+    raise ValueError("unsupported USPTO format (no recognized DTD or PATN record)")

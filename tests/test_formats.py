@@ -309,7 +309,11 @@ def _norm_itxt_abbrev(itxt: str) -> str:
 
 
 @pytest.mark.parametrize(
-    "name", ["pftaps057006474.txt", "ipa20180000016.xml", "ipa20200022300.xml"]
+    "name",
+    [
+        "pftaps057006474.txt", "ipa20180000016.xml", "ipa20200022300.xml",
+        "pg06442728.xml", "pa20010031492.xml",
+    ],
 )
 def test_uspto_golden(name):
     from docling_plus_spark.formats import convert_uspto
@@ -322,11 +326,11 @@ def test_uspto_golden(name):
     assert _norm_itxt_abbrev(doc.export_to_element_tree()) == _norm_itxt_abbrev(gold)
 
 
-def test_uspto_xml_formats_rejected():
+def test_uspto_unknown_format_rejected():
     from docling_plus_spark.formats import convert_uspto
 
     with pytest.raises(ValueError):
-        convert_uspto(b'<?xml version="1.0"?><us-patent-grant/>')
+        convert_uspto(b"just some text, no PATN record or patent DTD")
 
 
 def test_docx_rejects_non_zip():

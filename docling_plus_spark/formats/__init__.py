@@ -15,6 +15,7 @@ from .docx_backend import convert_docx  # noqa: F401
 from .jats_backend import convert_jats  # noqa: F401
 from .json_backend import convert_docling_json  # noqa: F401
 from .md_backend import convert_markdown  # noqa: F401
+from .mets_gbs_backend import convert_mets_gbs, mets_gbs_pages  # noqa: F401
 from .pptx_backend import convert_pptx  # noqa: F401
 from .uspto_backend import convert_uspto  # noqa: F401
 from .vtt_backend import convert_vtt  # noqa: F401

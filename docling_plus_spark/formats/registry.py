@@ -33,6 +33,7 @@ def _converters() -> dict:
     from .jats_backend import convert_jats
     from .json_backend import convert_docling_json
     from .md_backend import convert_markdown
+    from .mets_gbs_backend import convert_mets_gbs
     from .pptx_backend import convert_pptx
     from .uspto_backend import convert_uspto
     from .vtt_backend import convert_vtt
@@ -50,6 +51,7 @@ def _converters() -> dict:
         "json": convert_docling_json,
         "xml_jats": convert_jats,
         "xml_uspto": convert_uspto,
+        "mets_gbs": convert_mets_gbs,
         "text": _convert_text,
     }
 

@@ -102,6 +102,7 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             .when(path.rlike("(?i)\\.pptx$"), F.lit("pptx"))
             .when(path.rlike("(?i)\\.(xlsx|xlsm)$"), F.lit("xlsx"))
             .when(path.rlike("(?i)\\.nxml$"), F.lit("xml_jats"))
+            .when(path.rlike("(?i)\\.tar\\.gz$"), F.lit("mets_gbs"))
             .otherwise(F.lit("text"))
         )
     # XML DOCTYPE disambiguation (reference: document.py:550-584) — the

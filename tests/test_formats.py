@@ -333,6 +333,41 @@ def test_uspto_unknown_format_rejected():
         convert_uspto(b"just some text, no PATN record or patent DTD")
 
 
+def test_mets_gbs_fixture():
+    # no reference goldens exist for METS-GBS (its output depends on the
+    # NN pdf pipeline); assert page/cell extraction and that the
+    # deterministic pdf path assembles coherent text
+    from docling_plus_spark.formats import convert_mets_gbs, mets_gbs_pages
+
+    data = Path(
+        "/root/reference/docling/tests/data/mets_gbs/32044009881525_select.tar.gz"
+    ).read_bytes()
+    pages = mets_gbs_pages(data)
+    assert len(pages) == 3
+    assert all(p["cells"] for p in pages)
+    assert all(p["width"] > 0 and p["height"] > 0 for p in pages)
+    doc = convert_mets_gbs(data, name="32044009881525_select")
+    text = doc.export_to_text()
+    assert "THE PROBLEM OF THE PACIFIC" in text
+    assert len(doc.texts) > 5
+
+
+def test_mets_gbs_rejects_non_mets():
+    import gzip
+    import io
+    import tarfile
+
+    from docling_plus_spark.formats import convert_mets_gbs
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tar:
+        info = tarfile.TarInfo("foo.txt")
+        info.size = 3
+        tar.addfile(info, io.BytesIO(b"abc"))
+    with pytest.raises(ValueError):
+        convert_mets_gbs(buf.getvalue())
+
+
 def test_docx_rejects_non_zip():
     from docling_plus_spark.formats import convert_docx
 

@@ -1,6 +1,8 @@
-"""CSV/Markdown/WebVTT backends: golden parity (csv, vtt) + subset
-behavior (md) + mixed-format dispatch through the Spark extraction
-pipeline."""
+"""Format backends vs the reference golden fixtures: csv, vtt, md, docx,
+pptx, xlsx, jats, uspto (all four patent formats), asciidoc (structural
+— its goldens are stale), mets-gbs (structural — no goldens exist),
+docling-JSON round-trip, plus mixed-format dispatch through the Spark
+extraction pipeline and the content sniffer."""
 
 from __future__ import annotations
 

@@ -28,6 +28,8 @@ def _timed(fn):
     t0 = time.perf_counter(); fn(); return time.perf_counter() - t0
 
 cpus = int(sys.argv[1]); fx_path = sys.argv[2]; sy_path = sys.argv[3]
+n_fx_pass = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+n_sy_pass = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 spark = build_session(f"local[{{cpus}}]", shuffle_partitions=max(cpus, 32))
 # pin the split count to the input (as maxPartitionBytes does at 100 TB)
 # instead of defaultParallelism, so both parallelism levels see the SAME
@@ -45,7 +47,7 @@ n_fx = pages.count()
 t_fx = min(
     _timed(lambda: extract_pipeline(pages)
            .write.format("noop").mode("overwrite").save())
-    for _ in range(3)
+    for _ in range(n_fx_pass)
 )
 
 sp = spark.read.parquet(sy_path)
@@ -53,7 +55,7 @@ n_sy = sp.count()
 t_sy = min(
     _timed(lambda: extract_pipeline(sp)
            .write.format("noop").mode("overwrite").save())
-    for _ in range(2)
+    for _ in range(n_sy_pass)
 )
 
 print("RESULT " + json.dumps({{
@@ -65,9 +67,12 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_at(cpus: int, fx_path: str, sf_dir: str) -> dict:
+def run_at(cpus: int, fx_path: str, sf_dir: str, passes: tuple = (3, 2)) -> dict:
     code = _RUNNER.format(repo=REPO)
-    cmd = [sys.executable, "-c", code, str(cpus), fx_path, sf_dir]
+    cmd = [
+        sys.executable, "-c", code, str(cpus), fx_path, sf_dir,
+        str(passes[0]), str(passes[1]),
+    ]
     # pin the whole process tree (JVM + Python workers) to a cpuset so the
     # run emulates an N-core cluster, JVM overhead included in-budget
     if os.path.exists("/usr/bin/taskset"):
@@ -99,6 +104,28 @@ def main() -> None:
     fx_path = ensure_fixture_parquet(spark, replicate)
     sy_path = ensure_synth_parquet(spark, sf_dir)
     spark.stop()
+
+    if "--interleave" in sys.argv:
+        # drift-robust protocol: alternate the two levels in back-to-back
+        # JVMs and compute the efficiency PER PAIRED ROUND — hour-scale
+        # host throughput drift then cancels inside each pair
+        rounds = int(sys.argv[sys.argv.index("--interleave") + 1])
+        effs, rows = [], []
+        for i in range(rounds):
+            r8 = run_at(8, fx_path, sy_path, passes=(1, 1))
+            r32 = run_at(32, fx_path, sy_path, passes=(1, 1))
+            eff = (r8["total_sec"] / r32["total_sec"]) / 4.0
+            effs.append(eff)
+            rows.append((r8, r32, eff))
+            print(json.dumps({"round": i, "eff": round(eff, 3),
+                              "docs_per_sec_8": r8["docs_per_sec"],
+                              "docs_per_sec_32": r32["docs_per_sec"]}))
+        effs_sorted = sorted(effs)
+        median = effs_sorted[len(effs) // 2]
+        print(json.dumps({"interleaved_rounds": rounds,
+                          "efficiencies": [round(e, 3) for e in effs],
+                          "median_efficiency": round(median, 3)}))
+        return
 
     results = {}
     for cpus in (8, 32):

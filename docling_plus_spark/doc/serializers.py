@@ -100,6 +100,8 @@ def _inline_text(item: TextItem, with_hyperlink: bool = True) -> str:
         # formatting wraps the backticks (inline_and_formatting golden:
         # *`formatted_code`*)
         text = _apply_formatting(f"`{text}`", item)
+    elif item.label == "formula":
+        text = f"${text}$"
     else:
         text = _apply_formatting(_escape_md(text), item)
     if item.hyperlink and with_hyperlink:
@@ -155,6 +157,8 @@ class _MarkdownWriter:
                     blocks.append(f"{'#' * (level + 1)} {_inline_text(item)}")
                 elif item.label == "code":
                     blocks.append(f"```\n{item.text}\n```")
+                elif item.label == "formula":
+                    blocks.append(f"$${item.text}$$")
                 elif item.text:
                     blocks.append(_inline_text(item))
             blocks.extend(self._children_blocks(item))

@@ -7,11 +7,12 @@ dispatch, :1068-1136 heading stack, :1186-1297 list machinery,
 :1321-1431 tables) using stdlib ``zipfile`` + ``xml.etree`` — the
 reference's python-docx dependency is absent in this sandbox.
 
-Subset boundaries (documented, everything else mirrors the reference):
-equations (OMML), textboxes/DrawingML shape text, rich table cells, and
-header/footer furniture are not parsed. Verified byte-identical md+itxt
-against the reference goldens for the fixtures inside the subset
-(tests/test_formats.py).
+OMML equations convert to LaTeX (see :mod:`omml`) as standalone formula
+items, inline formula groups, and $-wrapped table-cell math, mirroring
+the reference's _handle_equations_in_text splice (:818-866, :1031-1066).
+Subset boundaries (documented): rich table cells and DrawingML shape
+rendering (needs LibreOffice) are not parsed. 14/16 reference goldens
+byte-identical md+itxt (tests/test_formats.py).
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ from docling_plus_spark.html.backend import binary_hash_of
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_MATH = "{http://schemas.openxmlformats.org/officeDocument/2006/math}"
 _REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 _VAL = _W + "val"
 
@@ -315,6 +317,45 @@ class _DocxWalker:
             elif tag == "p":
                 self._handle_text(element)
 
+    # -- equations (reference :818-866) ----------------------------------------
+    def _equations_in_text(self, p, text: str):
+        from .omml import omml_to_latex
+
+        only_texts, only_eqs, mixed = [], [], []
+        for sub in p.iter():
+            if sub.tag == _W + "t":
+                if isinstance(sub.text, str):
+                    only_texts.append(sub.text)
+                    mixed.append(sub.text)
+            elif sub.tag.endswith("oMath") and not sub.tag.endswith("oMathPara"):
+                latex = omml_to_latex(sub).strip()
+                if latex:
+                    eq = f"<eq>{latex}</eq>"
+                    only_eqs.append(eq)
+                    mixed.append(eq)
+        if not only_eqs:
+            return text, []
+        if (
+            re.sub(r"\s+", "", "".join(only_texts)).strip()
+            != re.sub(r"\s+", "", text).strip()
+        ):
+            # cannot reconstruct the raw text — skip equation handling
+            return text, []
+        # splice equations into the original text, preserving whitespace
+        output = text[:]
+        pos = 0
+        for i, part in enumerate(mixed):
+            if not part:
+                continue
+            if part in output[pos:]:
+                pos += output[pos:].find(part) + len(part)
+            elif i > 0:
+                output = output[:pos] + part + output[pos:]
+                pos += len(part)
+            else:
+                output = part + output
+        return output, only_eqs
+
     # -- textboxes (reference :689-817) ---------------------------------------
     def _handle_textbox(self, containers) -> None:
         level = self._get_level()
@@ -470,7 +511,9 @@ class _DocxWalker:
     # -- paragraphs (reference :881-1067) ---------------------------------------
     def _handle_text(self, p) -> None:
         elements = self._paragraph_elements(p)
-        text = _para_text(p).strip()
+        raw_text = _para_text(p)
+        text, equations = self._equations_in_text(p, raw_text)
+        text = text.strip()
         style_id, p_level = self._label_and_level(p)
         numid, ilvl = self._numid_and_ilvl(p)
         if numid == 0:
@@ -513,6 +556,38 @@ class _DocxWalker:
                 p.find(f".//{_W}numPr") is not None
             )
             self._add_heading(p_level, text, is_numbered_style)
+        elif equations:
+            # reference :1031-1066: standalone vs inline equations
+            level = self._get_level()
+            parent = self.parents.get(level - 1) if level > 0 else None
+            if not raw_text.strip() and text:
+                self.doc.add_text(
+                    label="formula",
+                    text=text.replace("<eq>", "").replace("</eq>", ""),
+                    parent=parent,
+                )
+            else:
+                group = self.doc.add_group(
+                    label="inline", name="group", parent=parent
+                )
+                text_tmp = text
+                for eq in equations:
+                    if not text_tmp:
+                        break
+                    split = text_tmp.split(eq.strip(), 1)
+                    pre = split[0]
+                    text_tmp = "" if len(split) == 1 else split[1]
+                    if pre:
+                        self.doc.add_text(label="text", text=pre, parent=group)
+                    self.doc.add_text(
+                        label="formula",
+                        text=eq.replace("<eq>", "").replace("</eq>", ""),
+                        parent=group,
+                    )
+                if text_tmp:
+                    self.doc.add_text(
+                        label="text", text=text_tmp.strip(), parent=group
+                    )
         else:
             # plain and unknown styles take the same path (reference
             # :1036-1066 treats user styles as text)
@@ -556,9 +631,13 @@ class _DocxWalker:
                     origins[ci]["row_span"] += 1
                     ci += span
                     continue
-                cell_text = "\n".join(
-                    _para_text(pp) for pp in tc.findall(_W + "p")
-                )
+                raw = "\n".join(_para_text(pp) for pp in tc.findall(_W + "p"))
+                cell_text, cell_eqs = self._equations_in_text(tc, raw)
+                if cell_eqs:
+                    # reference :1374-1379: equations render inline as $..$
+                    cell_text = cell_text.replace("<eq>", "$").replace("</eq>", "$")
+                else:
+                    cell_text = raw
                 cell = {
                     "text": cell_text, "row": ri, "col": ci,
                     "row_span": 1, "col_span": span,

@@ -212,12 +212,12 @@ def test_asciidoc_nested_lists_and_captions():
 
 
 DOCX_DIR = Path("/root/reference/docling/tests/data/docx")
-# fixtures inside the documented subset (no OMML equations, rich table
-# cells, or DrawingML shape rendering — those need python-docx/LibreOffice
-# machinery absent here)
+# 14/16 byte-identical; docx_rich_cells needs rich-cell group
+# serialization and drawingml needs a LibreOffice shape renderer
 DOCX_PARITY = [
-    "list_after_num_headers", "lorem_ipsum", "tablecell", "test_emf_docx",
-    "textbox", "unit_test_formatting", "unit_test_headers",
+    "equations", "list_after_num_headers", "lorem_ipsum",
+    "table_with_equations", "tablecell", "test_emf_docx", "textbox",
+    "unit_test_formatting", "unit_test_headers",
     "unit_test_headers_numbered", "unit_test_lists", "word_image_anchors",
     "word_sample", "word_tables",
 ]

@@ -10,9 +10,12 @@ reference's python-docx dependency is absent in this sandbox.
 OMML equations convert to LaTeX (see :mod:`omml`) as standalone formula
 items, inline formula groups, and $-wrapped table-cell math, mirroring
 the reference's _handle_equations_in_text splice (:818-866, :1031-1066).
-Subset boundaries (documented): rich table cells and DrawingML shape
-rendering (needs LibreOffice) are not parsed. 14/16 reference goldens
-byte-identical md+itxt (tests/test_formats.py).
+Rich table cells walk their content into per-cell groups under the
+table with the reference's ref-reparenting semantics (:1298-1320,
+:1387-1431 — containers the handlers do not return stay behind empty, a
+quirk the docx_rich_cells golden exhibits). The only remaining boundary
+is DrawingML shape rendering, which needs LibreOffice. 15/16 reference
+goldens byte-identical md+itxt (tests/test_formats.py).
 """
 
 from __future__ import annotations
@@ -288,7 +291,8 @@ class _DocxWalker:
         return prev_parent
 
     # -- walk ----------------------------------------------------------------
-    def walk(self, body) -> None:
+    def walk(self, body) -> list:
+        added: list = []
         for element in body:
             tag = element.tag.split("}")[-1]
             has_blip = element.find(f".//{_A}blip") is not None
@@ -298,13 +302,13 @@ class _DocxWalker:
                 self._handle_textbox(tb_contents)
             if tag == "tbl":
                 try:
-                    self._handle_table(element)
+                    added.extend(self._handle_table(element))
                 except Exception:  # noqa: BLE001 — broken table tolerated
                     continue
             elif has_blip:
-                self._handle_picture()
+                added.extend(self._handle_picture())
                 if tag == "p" and element.find(f".//{_W}t") is not None:
-                    self._handle_text(element)
+                    added.extend(self._handle_text(element))
             # NOTE: DrawingML shape rendering (msword_backend.py:1556-1592)
             # requires a DOCX→PDF converter (LibreOffice) the sandbox lacks;
             # shape-only paragraphs fall through as plain (mostly empty)
@@ -313,9 +317,10 @@ class _DocxWalker:
                 content = element.find(f".//{_W}sdtContent")
                 if content is not None:
                     for p in content.findall(f".//{_W}p"):
-                        self._handle_text(p)
+                        added.extend(self._handle_text(p))
             elif tag == "p":
-                self._handle_text(element)
+                added.extend(self._handle_text(element))
+        return added
 
     # -- equations (reference :818-866) ----------------------------------------
     def _equations_in_text(self, p, text: str):
@@ -357,7 +362,7 @@ class _DocxWalker:
         return output, only_eqs
 
     # -- textboxes (reference :689-817) ---------------------------------------
-    def _handle_textbox(self, containers) -> None:
+    def _handle_textbox(self, containers) -> list:
         level = self._get_level()
         group = self.doc.add_group(
             label="section", name="textbox",
@@ -374,14 +379,19 @@ class _DocxWalker:
                 seen.add(key)
                 self._handle_text(p)
         self.parents[level] = original
+        return [group.self_ref]
 
     # -- pictures ------------------------------------------------------------
-    def _handle_picture(self) -> None:
+    def _handle_picture(self) -> list:
         level = self._get_level()
-        self.doc.add_picture(parent=self.parents[level - 1] if level > 0 else None)
+        pic = self.doc.add_picture(
+            parent=self.parents[level - 1] if level > 0 else None
+        )
+        return [pic.self_ref]
 
     # -- headings (reference :1068-1136) --------------------------------------
-    def _add_heading(self, curr_level, text, is_numbered_style):
+    def _add_heading(self, curr_level, text, is_numbered_style) -> list:
+        refs: list = []
         level = self._get_level()
         if isinstance(curr_level, int):
             if curr_level > level:
@@ -390,6 +400,7 @@ class _DocxWalker:
                         label="section", name=f"header-{i}",
                         parent=self.parents[i - 1] if i > 0 else None,
                     )
+                    refs.append(gr.self_ref)
                     self.parents[i] = gr
             elif curr_level < level:
                 for key in range(10):
@@ -422,6 +433,8 @@ class _DocxWalker:
             parent=self.parents[parent_level] if parent_level >= 0 else None,
         )
         self.parents[current_level] = hd
+        refs.append(hd.self_ref)
+        return refs
 
     # -- lists (reference :1186-1297) ------------------------------------------
     def _marker(self, numid, ilvl, is_numbered) -> str:
@@ -454,9 +467,10 @@ class _DocxWalker:
                         formatting=fmt, hyperlink=link or None,
                     )
 
-    def _add_list_item(self, numid, ilvl, elements, is_numbered):
+    def _add_list_item(self, numid, ilvl, elements, is_numbered) -> list:
+        refs: list = []
         if not elements:
-            return
+            return refs
         level = self._get_level()
         prev_indent = self._prev_indent()
         if self._prev_numid() is None or (
@@ -469,6 +483,7 @@ class _DocxWalker:
             gr = self.doc.add_list_group(
                 parent=self.parents[level - 1] if level > 0 else None
             )
+            refs.append(gr.self_ref)
             self.parents[level] = gr
             self._formatted_list_item(
                 elements, self._marker(numid, ilvl, is_numbered), is_numbered, level
@@ -484,6 +499,7 @@ class _DocxWalker:
                 self.level_at_new_list + ilvl + 1,
             ):
                 gr = self.doc.add_list_group(parent=self.parents[i - 1])
+                refs.append(gr.self_ref)
                 self.parents[i] = gr
             self._formatted_list_item(
                 elements, self._marker(numid, ilvl, is_numbered), is_numbered,
@@ -507,9 +523,11 @@ class _DocxWalker:
                 elements, self._marker(numid, ilvl, is_numbered), is_numbered,
                 level - 1,
             )
+        return refs
 
     # -- paragraphs (reference :881-1067) ---------------------------------------
-    def _handle_text(self, p) -> None:
+    def _handle_text(self, p) -> list:
+        refs: list = []
         elements = self._paragraph_elements(p)
         raw_text = _para_text(p)
         text, equations = self._equations_in_text(p, raw_text)
@@ -520,11 +538,11 @@ class _DocxWalker:
             numid = None
 
         if numid is not None and ilvl is not None and style_id not in ("Title", "Heading"):
-            self._add_list_item(
+            refs = self._add_list_item(
                 numid, ilvl, elements, self.pkg.is_numbered_list(numid, ilvl)
             )
             self._update_history(style_id, p_level, numid, ilvl)
-            return
+            return refs
         if (
             numid is None
             and self._prev_numid() is not None
@@ -546,6 +564,7 @@ class _DocxWalker:
                 self.parents[key] = None
             te = self.doc.add_text(label="title", text=text)
             self.parents[0] = te
+            refs.append(te.self_ref)
         elif "Heading" in style_id:
             ppr = p.find(_W + "pPr")
             style_info = self.pkg.styles.get(
@@ -555,21 +574,23 @@ class _DocxWalker:
             is_numbered_style = bool(style_info.get("numbered")) or (
                 p.find(f".//{_W}numPr") is not None
             )
-            self._add_heading(p_level, text, is_numbered_style)
+            refs.extend(self._add_heading(p_level, text, is_numbered_style))
         elif equations:
             # reference :1031-1066: standalone vs inline equations
             level = self._get_level()
             parent = self.parents.get(level - 1) if level > 0 else None
             if not raw_text.strip() and text:
-                self.doc.add_text(
+                t1 = self.doc.add_text(
                     label="formula",
                     text=text.replace("<eq>", "").replace("</eq>", ""),
                     parent=parent,
                 )
+                refs.append(t1.self_ref)
             else:
                 group = self.doc.add_group(
                     label="inline", name="group", parent=parent
                 )
+                refs.append(group.self_ref)
                 text_tmp = text
                 for eq in equations:
                     if not text_tmp:
@@ -578,16 +599,19 @@ class _DocxWalker:
                     pre = split[0]
                     text_tmp = "" if len(split) == 1 else split[1]
                     if pre:
-                        self.doc.add_text(label="text", text=pre, parent=group)
-                    self.doc.add_text(
+                        e1 = self.doc.add_text(label="text", text=pre, parent=group)
+                        refs.append(e1.self_ref)
+                    e2 = self.doc.add_text(
                         label="formula",
                         text=eq.replace("<eq>", "").replace("</eq>", ""),
                         parent=group,
                     )
+                    refs.append(e2.self_ref)
                 if text_tmp:
-                    self.doc.add_text(
+                    e3 = self.doc.add_text(
                         label="text", text=text_tmp.strip(), parent=group
                     )
+                    refs.append(e3.self_ref)
         else:
             # plain and unknown styles take the same path (reference
             # :1036-1066 treats user styles as text)
@@ -596,14 +620,68 @@ class _DocxWalker:
                 self.parents.get(level - 1) if level > 0 else None, elements
             )
             for t, fmt, link in elements:
-                self.doc.add_text(
+                t2 = self.doc.add_text(
                     label="text", text=t, parent=parent,
                     formatting=fmt, hyperlink=link or None,
                 )
+                refs.append(t2.self_ref)
         self._update_history(style_id, p_level, numid, ilvl)
+        return refs
 
     # -- tables (reference :1321-1431) -------------------------------------------
-    def _handle_table(self, tbl) -> None:
+    def _is_rich_cell(self, tc) -> bool:
+        """Mirror of _is_rich_table_cell (msword_backend.py:1452-1507):
+        more than one paragraph, non-paragraph block content, an image, or
+        any run carrying formatting makes a cell rich."""
+        paragraphs = [c for c in tc if c.tag == _W + "p"]
+        if len(paragraphs) > 1:
+            return True
+        for child in tc:
+            if child.tag.split("}")[-1] not in ("p", "tcPr"):
+                return True
+        if tc.find(f".//{_A}blip") is not None:
+            return True
+        default = Formatting()
+        for para in paragraphs:
+            for run in para.findall(_W + "r"):
+                if _run_format(run) != default:
+                    return True
+        return False
+
+    def _walk_cell_group(self, tc, table_item, ci, ri):
+        """Walk a rich cell's content with the CURRENT parent stack and
+        move the produced refs into an UNSPECIFIED group under the table
+        (reference _walk_linear over the cell + _group_cell_elements,
+        :1298-1320, :1387-1399). Containers the handlers did not return
+        (e.g. inline groups) stay behind empty — a reference quirk the
+        docx_rich_cells golden exhibits."""
+        refs = self.walk(tc)
+        if not refs:
+            return None
+        # the reference names the group AFTER walking the cell, so nested
+        # tables added during the walk count toward the index
+        group = self.doc.add_group(
+            label="unspecified",
+            name=f"rich_cell_group_{len(self.doc.tables)}_{ci}_{ri}",
+            parent=table_item,
+        )
+        # add_group attached the group under table_item already; now move
+        # each returned item under it, detaching from its old parent
+        for ref in refs:
+            item = self.doc.resolve(ref)
+            old_parent = (
+                self.doc.resolve(item.parent_ref)
+                if item.parent_ref
+                else self.doc.body
+            )
+            if ref in old_parent.children:
+                old_parent.children.remove(ref)
+            if ref not in group.children:
+                group.children.append(ref)
+            item.parent_ref = group.self_ref
+        return group.self_ref
+
+    def _handle_table(self, tbl) -> list:
         rows = tbl.findall(_W + "tr")
         grid_el = tbl.find(_W + "tblGrid")
         num_cols = len(grid_el.findall(_W + "gridCol")) if grid_el is not None else 0
@@ -611,9 +689,12 @@ class _DocxWalker:
         if num_rows == 1 and num_cols == 1:
             # single-cell table = furniture: walk its content in place
             self.walk(rows[0].find(_W + "tc"))
-            return
+            return []
         data = TableData(num_rows=num_rows, num_cols=num_cols, table_cells=[])
         level = self._get_level()
+        table_item = self.doc.add_table(
+            data=data, parent=self.parents[level - 1] if level > 0 else None
+        )
         origins: dict = {}  # grid col -> origin cell dict (for vMerge)
         for ri, tr in enumerate(rows):
             ci = 0
@@ -638,9 +719,12 @@ class _DocxWalker:
                     cell_text = cell_text.replace("<eq>", "$").replace("</eq>", "$")
                 else:
                     cell_text = raw
+                ref = None
+                if self._is_rich_cell(tc):
+                    ref = self._walk_cell_group(tc, table_item, ci, ri)
                 cell = {
                     "text": cell_text, "row": ri, "col": ci,
-                    "row_span": 1, "col_span": span,
+                    "row_span": 1, "col_span": span, "ref": ref,
                 }
                 for c in range(ci, ci + span):
                     origins[c] = cell
@@ -654,12 +738,12 @@ class _DocxWalker:
                 start_col_offset_idx=c["col"],
                 end_col_offset_idx=c["col"] + c["col_span"],
                 column_header=c["row"] == 0, row_header=False,
+                ref=c.get("ref"),
             )
             for c in data.table_cells
         ]
-        self.doc.add_table(
-            data=data, parent=self.parents[level - 1] if level > 0 else None
-        )
+        table_item.data = data
+        return [table_item.self_ref]
 
 
 def convert_docx(data: bytes, name: str = "file", filename: str = "file.docx") -> DLDocument:

@@ -212,10 +212,10 @@ def test_asciidoc_nested_lists_and_captions():
 
 
 DOCX_DIR = Path("/root/reference/docling/tests/data/docx")
-# 14/16 byte-identical; docx_rich_cells needs rich-cell group
-# serialization and drawingml needs a LibreOffice shape renderer
+# 15/16 byte-identical; drawingml alone needs a LibreOffice shape
+# renderer (its golden embeds converter-produced pictures)
 DOCX_PARITY = [
-    "equations", "list_after_num_headers", "lorem_ipsum",
+    "docx_rich_cells", "equations", "list_after_num_headers", "lorem_ipsum",
     "table_with_equations", "tablecell", "test_emf_docx", "textbox",
     "unit_test_formatting", "unit_test_headers",
     "unit_test_headers_numbered", "unit_test_lists", "word_image_anchors",

@@ -875,8 +875,8 @@ c AS (
 ),
 r AS (
   SELECT user_id, fmt,
-         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS run_id
+         (sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING))::bigint AS run_id
   FROM c
 )
 SELECT user_id, run_id, fmt, count(*) AS run_len
@@ -1496,8 +1496,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING))::bigint AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,

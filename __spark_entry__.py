@@ -152,6 +152,16 @@ def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "md")
 
 
+def _q_doctags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/F10 DocTags sink: fourth export surface (reference
+    cli/main.py:281-284 save_as_doctags; serializer byte-verified against
+    the 12 reference .doctags.txt goldens in tests/test_doctags.py)."""
+    out = extract_pipeline(
+        synth_pages_from_documents(spark, sf_dir), include_doctags=True
+    )
+    return out.select("url", "doctags")
+
+
 def _q_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _mixed_format_pages(spark, sf_dir)
     return (
@@ -1283,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
         "extract_markdown": _q_extract_markdown,
+        "doctags_extract": _q_doctags_extract,
         "format_sniff": _q_format_sniff,
         "doc_hash": _q_doc_hash,
         "limits_gate": _q_limits_gate,
@@ -1347,6 +1358,13 @@ FROM web_pages
         "extract_markdown": f"""
 WITH {SYNTH_PAGE_ORACLE_CTE}
 SELECT url, expected_md AS md FROM web_pages
+""",
+        "doctags_extract": """
+SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
+       '<doctag><title>src ' || source || '</title>' || chr(10)
+       || '<title>Doc ' || doc_id::varchar || '</title>' || chr(10)
+       || '<text>' || text || '</text>' || chr(10) || '</doctag>' AS doctags
+FROM documents
 """,
         "format_sniff": f"""
 WITH {_MIXED_CTE}

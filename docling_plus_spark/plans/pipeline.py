@@ -74,6 +74,7 @@ def extract_pipeline(
     formats: tuple = ("html", "csv", "md", "vtt", "asciidoc", "docx", "pptx", "xlsx", "json", "xml_jats", "xml_uspto", "mets_gbs"),
     max_file_size: int = DEFAULT_MAX_FILE_SIZE,
     include_json: bool = False,
+    include_doctags: bool = False,
 ) -> DataFrame:
     """Full pipeline: returns EXTRACT_SCHEMA ⋈ (doc_hash, format, nbytes).
 
@@ -96,6 +97,7 @@ def extract_pipeline(
         convert_col=convert,
         reject_reason_col=reason,
         include_json=include_json,
+        include_doctags=include_doctags,
     )
 
 

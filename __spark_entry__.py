@@ -162,6 +162,16 @@ def _q_doctags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "doctags")
 
 
+def _q_html_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 HTML sink: structure-lossless HTML export (reference hook
+    cli/main.py:228-259 save_as_html; round-trip-verified against every
+    reference HTML fixture in tests/test_html_sink.py)."""
+    out = extract_pipeline(
+        synth_pages_from_documents(spark, sf_dir), include_html=True
+    )
+    return out.select("url", "html_out")
+
+
 def _q_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _mixed_format_pages(spark, sf_dir)
     return (
@@ -1294,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "extract_markdown": _q_extract_markdown,
         "doctags_extract": _q_doctags_extract,
+        "html_sink": _q_html_sink,
         "format_sniff": _q_format_sniff,
         "doc_hash": _q_doc_hash,
         "limits_gate": _q_limits_gate,
@@ -1358,6 +1369,20 @@ FROM web_pages
         "extract_markdown": f"""
 WITH {SYNTH_PAGE_ORACLE_CTE}
 SELECT url, expected_md AS md FROM web_pages
+""",
+        "html_sink": """
+SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
+       '<!DOCTYPE html>' || chr(10) || '<html lang="en">' || chr(10)
+       || '<head>' || chr(10) || '<meta charset="UTF-8">' || chr(10)
+       || '<title>' || doc_id::varchar || '</title>' || chr(10)
+       || '<style>html{background-color:#f5f5f5;}body{margin:2em auto;max-width:50em;padding:2em;background:#fff;font-family:sans-serif;}div.page{margin-bottom:2em;border-bottom:1px solid #ddd;}table{border-collapse:collapse;}td,th{border:1px solid #ccc;padding:.3em .6em;}figure{margin:1em 0;}pre{background:#f0f0f0;padding:.5em;overflow-x:auto;}.formula{text-align:center;}</style>' || chr(10)
+       || '</head>' || chr(10) || '<body>' || chr(10)
+       || '<div class="page">' || chr(10)
+       || '<h1>Doc ' || doc_id::varchar || '</h1>' || chr(10)
+       || '<p>' || text || '</p>' || chr(10)
+       || '</div>' || chr(10) || '</body>' || chr(10) || '</html>' || chr(10)
+       AS html_out
+FROM documents
 """,
         "doctags_extract": """
 SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,

@@ -44,6 +44,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("itxt", T.StringType()),
         T.StructField("doc_json", T.StringType()),
         T.StructField("doctags", T.StringType()),
+        T.StructField("html_out", T.StringType()),
         T.StructField("extract_ms", T.DoubleType()),
     ]
 )
@@ -83,6 +84,7 @@ def _reject_rows(urls, reasons, passthrough: pd.DataFrame) -> pd.DataFrame:
             "itxt": [None] * n,
             "doc_json": [None] * n,
             "doctags": [None] * n,
+            "html_out": [None] * n,
             "extract_ms": [0.0] * n,
         }
     )
@@ -91,9 +93,10 @@ def _reject_rows(urls, reasons, passthrough: pd.DataFrame) -> pd.DataFrame:
     return res
 
 
-def _convert_chunk(urls, blobs, passthrough: pd.DataFrame, include_json: bool, include_doctags: bool) -> pd.DataFrame:
+def _convert_chunk(urls, blobs, passthrough: pd.DataFrame, include_json: bool, include_doctags: bool, include_html: bool) -> pd.DataFrame:
     # import inside the worker so the driver-side module graph stays lazy
     from docling_plus_spark.doc.doctags import export_to_doctags
+    from docling_plus_spark.doc.html_sink import export_to_html
     from docling_plus_spark.doc.document import TableItem
     from docling_plus_spark.doc.serializers import (
         export_to_element_tree,
@@ -110,7 +113,7 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame, include_json: bool, i
 
     out = {k: [] for k in (
         "url", "status", "failure_class", "error", "num_items",
-        "num_tables", "text", "md", "itxt", "doc_json", "doctags", "extract_ms",
+        "num_tables", "text", "md", "itxt", "doc_json", "doctags", "html_out", "extract_ms",
     )}
     for url, blob, fmt in zip(urls, blobs, fmts):
         t0 = time.perf_counter()
@@ -131,8 +134,13 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame, include_json: bool, i
             out["md"].append(export_to_markdown(doc))
             out["itxt"].append(export_to_element_tree(doc))
             out["doc_json"].append(doc.export_to_json() if include_json else None)
+            _dd = (doc.export_to_dict()
+                   if (include_doctags or include_html) else None)
             out["doctags"].append(
-                export_to_doctags(doc.export_to_dict()) if include_doctags else None
+                export_to_doctags(_dd) if include_doctags else None
+            )
+            out["html_out"].append(
+                export_to_html(_dd) if include_html else None
             )
         except Exception as exc:  # noqa: BLE001 — row status, not job failure
             out["url"].append(url)
@@ -146,6 +154,7 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame, include_json: bool, i
             out["itxt"].append(None)
             out["doc_json"].append(None)
             out["doctags"].append(None)
+            out["html_out"].append(None)
         out["extract_ms"].append((time.perf_counter() - t0) * 1e3)
     res = pd.DataFrame(out)
     if len(passthrough.columns):
@@ -153,7 +162,7 @@ def _convert_chunk(urls, blobs, passthrough: pd.DataFrame, include_json: bool, i
     return res
 
 
-def _extract_fn(max_batch_bytes: int, passthrough_cols: list, gated: bool, include_json: bool, include_doctags: bool):
+def _extract_fn(max_batch_bytes: int, passthrough_cols: list, gated: bool, include_json: bool, include_doctags: bool, include_html: bool):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if gated and len(pdf):
@@ -178,11 +187,11 @@ def _extract_fn(max_batch_bytes: int, passthrough_cols: list, gated: bool, inclu
                 if acc >= max_batch_bytes and i + 1 > start:
                     yield _convert_chunk(
                         urls[start : i + 1], blobs[start : i + 1],
-                        extra.iloc[start : i + 1], include_json, include_doctags,
+                        extra.iloc[start : i + 1], include_json, include_doctags, include_html,
                     )
                     start, acc = i + 1, 0
             if start < len(blobs):
-                yield _convert_chunk(urls[start:], blobs[start:], extra.iloc[start:], include_json, include_doctags)
+                yield _convert_chunk(urls[start:], blobs[start:], extra.iloc[start:], include_json, include_doctags, include_html)
 
     return fn
 
@@ -195,6 +204,7 @@ def extract_stage(
     reject_reason_col: Optional[Column] = None,
     include_json: bool = False,
     include_doctags: bool = False,
+    include_html: bool = False,
 ) -> DataFrame:
     """(url, html, …) → EXTRACT_SCHEMA rows, one per input row.
 
@@ -222,7 +232,7 @@ def extract_stage(
         + [f for f in pages.schema.fields if f.name in passthrough]
     )
     return pages.select(*cols).mapInPandas(
-        _extract_fn(max_batch_bytes, list(passthrough), gated, include_json, include_doctags), schema
+        _extract_fn(max_batch_bytes, list(passthrough), gated, include_json, include_doctags, include_html), schema
     )
 
 

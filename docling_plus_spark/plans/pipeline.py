@@ -75,6 +75,7 @@ def extract_pipeline(
     max_file_size: int = DEFAULT_MAX_FILE_SIZE,
     include_json: bool = False,
     include_doctags: bool = False,
+    include_html: bool = False,
 ) -> DataFrame:
     """Full pipeline: returns EXTRACT_SCHEMA ⋈ (doc_hash, format, nbytes).
 
@@ -98,6 +99,7 @@ def extract_pipeline(
         reject_reason_col=reason,
         include_json=include_json,
         include_doctags=include_doctags,
+        include_html=include_html,
     )
 
 

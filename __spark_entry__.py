@@ -1625,18 +1625,25 @@ def _simhash_oracle() -> str:
 
 
 def _simhash_near_oracle() -> str:
-    from docling_plus_spark.operators.dedup import SIMHASH_BITS, simhash_sql
+    from docling_plus_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_BLOCKS,
+        simhash_sql,
+    )
 
     base = simhash_sql("id", "text").replace("FROM documents", "FROM corpus")
-    half = SIMHASH_BITS // 2
-    mask = (1 << half) - 1
+    width = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << width) - 1
+    blocks = "\n  UNION ALL\n".join(
+        f"  SELECT id, simhash, '{i}:' || ((simhash >> {i * width}) & {mask})::varchar"
+        f" AS block FROM sims"
+        for i in range(SIMHASH_BLOCKS)
+    )
     return f"""
 WITH {_CORPUS_CTE},
 sims AS ({base}),
 keyed AS (
-  SELECT id, simhash, 'h:' || (simhash >> {half})::varchar AS block FROM sims
-  UNION ALL
-  SELECT id, simhash, 'l:' || (simhash & {mask})::varchar AS block FROM sims
+{blocks}
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b

@@ -19,9 +19,16 @@ curation scale greedy-by-id is the standard choice).
 
 Scale notes: the LSH bucket join shuffles on (band, band_hash) — a
 uniform key unless the corpus contains mega-clusters of near-identical
-pages; `F.count` guard + salt handles those. Signature columns are
-k×8 bytes/row — tiny next to html. The all-pairs verify only runs inside
-buckets (bounded), never across the corpus.
+pages. :func:`minhash_candidate_pairs` guards those with a bucket-size
+count + salt-split: buckets over ``max_bucket`` rows are decomposed into
+a grid of (group_i, group_j) sub-cells so every pair is still produced
+exactly once but no single task materializes more than ~``max_bucket``²
+pairs — one 10⁶-row bucket becomes 10⁶ spread cells instead of one
+10¹²-pair task. Signature columns are k×8 bytes/row — tiny next to html,
+and they are dropped *before* the candidate distinct (the distinct
+shuffles only (id_a, id_b, est) — 20 bytes/pair, not 2k×8). The
+all-pairs verify only runs inside buckets (bounded), never across the
+corpus.
 """
 
 from __future__ import annotations
@@ -129,25 +136,50 @@ def minhash_prepare(
     )
 
 
-def minhash_candidate_pairs(prepared: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(prepared: DataFrame, max_bucket: int = 4096) -> DataFrame:
     """Self-join on band buckets → distinct (id_a < id_b) candidate pairs
     with estimated Jaccard = fraction of equal signature components.
 
-    The join shuffles on band_key (high-cardinality md5) — broadcast-free
-    and salting-free unless a bucket is a mega-cluster.
+    The join shuffles on band_key (high-cardinality md5) — broadcast-free.
+    Two scale guards:
+
+    * **Mega-bucket salt-split**: a bucket of m rows produces m² join
+      output; one 10⁶-row near-identical cluster would pin a single task
+      on 10¹² pairs. Buckets over ``max_bucket`` are split into
+      s = ⌈m/max_bucket⌉ salted groups and the join key becomes
+      (band_key, cell) where each row joins every canonical cell
+      {min(i,g), max(i,g)} containing its group: every unordered group
+      pair meets in exactly one cell, each cell holds ≤ ~2·max_bucket
+      rows per side, and the m² work spreads over ~s²/2 cells instead of
+      one task. Normal buckets (s = 1) collapse to a single cell — zero
+      replication.
+    * **Payload-free distinct**: est_jaccard is computed *before* the
+      pair distinct, so the distinct shuffles (id_a, id_b, est) only —
+      signature arrays never ride through it.
     """
-    a = prepared.select(
-        F.col("band_key"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    counts = prepared.groupBy("band_key").agg(F.count("*").alias("_m"))
+    splits = (F.ceil(F.col("_m") / F.lit(max_bucket))).cast("int").alias("_s")
+    p = prepared.join(counts.select("band_key", splits), "band_key").withColumn(
+        "_g", F.pmod(F.xxhash64(F.col("id")), F.col("_s")).cast("int")
     )
-    b = prepared.select(
-        F.col("band_key"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    # each row lands in every canonical cell {min(i,g), max(i,g)} that
+    # contains its group — a pair with groups (gx, gy) meets in exactly
+    # the cell (min(gx,gy), max(gx,gy)) regardless of id order; same-group
+    # pairs meet in s cells and collapse in the final distinct
+    cells = F.transform(
+        F.sequence(F.lit(0), F.col("_s") - 1),
+        lambda i: F.struct(
+            F.least(i, F.col("_g")).alias("u"), F.greatest(i, F.col("_g")).alias("v")
+        ),
     )
-    pairs = (
-        a.join(b, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+    keyed = p.select("band_key", "id", "sig", F.explode(cells).alias("cell"))
+    a = keyed.select(
+        "band_key", "cell", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
+    b = keyed.select(
+        "band_key", "cell", F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    joined = a.join(b, ["band_key", "cell"]).filter(F.col("id_a") < F.col("id_b"))
     k = F.size(F.col("sig_a"))
     est = (
         F.size(
@@ -158,7 +190,10 @@ def minhash_candidate_pairs(prepared: DataFrame) -> DataFrame:
         ).cast("double")
         / k.cast("double")
     )
-    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    return (
+        joined.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .distinct()
+    )
 
 
 def minhash_dedup_keep(
@@ -256,21 +291,33 @@ SELECT id, {bits} AS simhash FROM agg
 """
 
 
+SIMHASH_BLOCKS = 4
+
+
 def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs by half-fingerprint pigeonhole (any pair within
-    Hamming ≤ 1 per half shares a half; standard multi-block scheme),
-    verified by exact popcount of xor ≤ ``max_hamming``."""
-    half_hi = F.shiftright(F.col("simhash"), SIMHASH_BITS // 2)
-    half_lo = F.col("simhash").bitwiseAND(F.lit((1 << (SIMHASH_BITS // 2)) - 1))
+    """Candidate pairs by 4-block pigeonhole, verified by exact popcount
+    of xor ≤ ``max_hamming``.
+
+    With 4 blocks of 8 bits, any pair at Hamming distance ≤ 3 has its
+    differing bits spread over at most 3 blocks, so at least one block is
+    identical — full recall at the default threshold (pigeonhole), unlike
+    a 2-half scheme where a 1+2 split across halves escapes both blocks.
+    """
+    width = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << width) - 1
+    blocks = [
+        F.concat(
+            F.lit(f"{i}:"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("string"),
+        )
+        for i in range(SIMHASH_BLOCKS)
+    ]
     keyed = sim_df.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                F.concat(F.lit("h:"), half_hi.cast("string")),
-                F.concat(F.lit("l:"), half_lo.cast("string")),
-            )
-        ).alias("block"),
+        F.explode(F.array(*blocks)).alias("block"),
     )
     a = keyed.select("block", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = keyed.select("block", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))

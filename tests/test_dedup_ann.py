@@ -153,3 +153,57 @@ def test_frame_sample_plan(spark):
     out = frame_sample_plan(media, every_n=10).collect()
     assert all(r["frame_idx"] % 10 == 0 for r in out)
     assert len({r["media_id"] for r in out}) == 5
+
+
+def test_megabucket_salt_split_preserves_pairs_and_bounds_cells(spark):
+    """1,000 identical docs land in one LSH bucket per band; the salt-split
+    guard must (a) still produce every C(1000,2) pair exactly once and
+    (b) bound each (band_key, gi, gj) join cell to ~max_bucket rows/side."""
+    n, cap = 1000, 100
+    df = spark.range(n).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("identical content repeated across the corpus").alias("text"),
+    )
+    prepared = minhash_prepare(df, "doc_id", "text", k=16, bands=4).cache()
+    pairs = minhash_candidate_pairs(prepared, max_bucket=cap)
+    assert pairs.count() == n * (n - 1) // 2
+    assert pairs.select("id_a", "id_b").distinct().count() == n * (n - 1) // 2
+    # bound check: reconstruct the salted cell assignment of side a
+    counts = prepared.groupBy("band_key").agg(F.count("*").alias("_m"))
+    p = prepared.join(
+        counts.select(
+            "band_key", F.ceil(F.col("_m") / F.lit(cap)).cast("int").alias("_s")
+        ),
+        "band_key",
+    ).withColumn("_g", F.pmod(F.xxhash64(F.col("id")), F.col("_s")).cast("int"))
+    per_cell = (
+        p.groupBy("band_key", "_g").agg(F.count("*").alias("rows")).agg(
+            F.max("rows").alias("mx")
+        )
+    ).collect()[0]["mx"]
+    # hash split is uneven but must stay within ~2x of the cap
+    assert per_cell <= 2 * cap
+
+
+def test_megabucket_guard_noop_on_small_buckets(corpus):
+    """With buckets below the cap, guarded and effectively-unguarded runs
+    produce identical candidate sets."""
+    prepared = minhash_prepare(corpus, "id", "text", k=16, bands=4).cache()
+    guarded = minhash_candidate_pairs(prepared, max_bucket=64)
+    wide = minhash_candidate_pairs(prepared, max_bucket=1 << 30)
+    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, wide.collect()))
+
+
+def test_simhash_four_block_recall(spark):
+    """Pigeonhole guarantee: every pair within Hamming<=3 is found, even
+    when the differing bits straddle a 2-half split (1+2 split)."""
+    from docling_plus_spark.operators.dedup import SIMHASH_BITS
+
+    base = 0x5A5A5A5A & ((1 << SIMHASH_BITS) - 1)
+    # flip bit 2 (low half) and bits 17+22 (high half): 1+2 across halves
+    variant = base ^ (1 << 2) ^ (1 << 17) ^ (1 << 22)
+    sim_df = spark.createDataFrame(
+        [(1, base), (2, variant)], "id long, simhash long"
+    )
+    got = simhash_near_pairs(sim_df, max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 3)]

@@ -86,9 +86,11 @@ ELEMENTS_SCHEMA = T.StructType(
 PDF_DOC_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
-        T.StructField("status", T.StringType()),
+        T.StructField("status", T.StringType()),  # success|partial_success|failure
+        T.StructField("failure_class", T.StringType()),
         T.StructField("error", T.StringType()),
         T.StructField("num_pages", T.IntegerType()),
+        T.StructField("num_failed_pages", T.IntegerType()),
         T.StructField("num_items", T.IntegerType()),
         T.StructField("text", T.StringType()),
         T.StructField("md", T.StringType()),
@@ -162,18 +164,47 @@ def _page_to_elements(row) -> list:
     return out
 
 
+PAGE_FAILURE_LABEL = "_page_failure"
+
+
 def pages_to_elements(pages: DataFrame) -> DataFrame:
-    """Narrow stage: per-page layout → ELEMENTS_SCHEMA rows."""
+    """Narrow stage: per-page layout → ELEMENTS_SCHEMA rows.
+
+    A failing page never silently disappears: it emits one marker row
+    (label = ``_page_failure``, text = error) so the document stage can
+    surface status='partial_success' / 'failure' and lineage + snapshot
+    resume stay total over the input.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in ELEMENTS_SCHEMA.fields]
         for pdf in batches:
             rows: list = []
-            for _, row in pdf.iterrows():
+            # dict-records beats iterrows (no per-row Series construction)
+            for row in pdf.to_dict("records"):
                 try:
                     rows.extend(_page_to_elements(row))
-                except Exception:  # noqa: BLE001 — page-level failure tolerated
-                    continue
+                except Exception as exc:  # noqa: BLE001 — page-level failure
+                    try:
+                        pno = int(row.get("page_no"))
+                    except Exception:  # noqa: BLE001 — even the key may be bad
+                        pno = -1
+                    rows.append(
+                        {
+                            "url": row.get("url"),
+                            "page_no": pno,
+                            "width": 0.0,
+                            "height": 0.0,
+                            "cid": -1,
+                            "label": PAGE_FAILURE_LABEL,
+                            "text": repr(exc)[:200],
+                            "l": 0.0,
+                            "b": 0.0,
+                            "r": 0.0,
+                            "t": 0.0,
+                            "table_json": None,
+                        }
+                    )
             yield (
                 pd.DataFrame(rows, columns=cols)
                 if rows
@@ -183,13 +214,29 @@ def pages_to_elements(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(fn, ELEMENTS_SCHEMA)
 
 
-def elements_to_documents(elements: DataFrame, tables_by_url: dict | None = None) -> DataFrame:
+def elements_to_documents(
+    elements: DataFrame, table_overrides: DataFrame | None = None
+) -> DataFrame:
     """Wide stage: groupBy(url) → reading order → assemble → serialize.
 
-    The single shuffle of the path. ``tables_by_url`` (url → cid →
-    TableData) is driver-provided for precomputed table structures; at
-    scale it would be a co-grouped DataFrame instead.
+    The single shuffle of the path. ``table_overrides`` — an optional
+    DataFrame (url, page_no, cid, table_json) of precomputed table
+    structures (e.g. TableFormer-matched) — is left-joined onto the
+    element stream *before* the shuffle, overriding the inferred
+    ``table_json`` per element. No driver-side state crosses into tasks
+    (the former dict side-channel is gone).
     """
+    if table_overrides is not None:
+        from pyspark.sql import functions as F
+
+        ov = table_overrides.select(
+            "url", "page_no", "cid", F.col("table_json").alias("_ov_json")
+        )
+        elements = (
+            elements.join(ov, ["url", "page_no", "cid"], "left")
+            .withColumn("table_json", F.coalesce("_ov_json", "table_json"))
+            .drop("_ov_json")
+        )
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from docling_plus_spark.doc.serializers import (
@@ -202,14 +249,37 @@ def elements_to_documents(elements: DataFrame, tables_by_url: dict | None = None
         from .geometry import BBox, PageElement
 
         url = key[0]
+        failed = pdf[pdf["label"] == PAGE_FAILURE_LABEL]
+        n_failed = int(failed["page_no"].nunique())
+        pdf = pdf[pdf["label"] != PAGE_FAILURE_LABEL]
+        if not len(pdf):
+            # every page failed — the document still gets an output row
+            # (totality: resume/lineage must see this url as processed)
+            err = str(failed["text"].iloc[0]) if len(failed) else None
+            return pd.DataFrame(
+                [
+                    {
+                        "url": url,
+                        "status": "failure",
+                        "failure_class": "page_parse_failure",
+                        "error": err,
+                        "num_pages": 0,
+                        "num_failed_pages": n_failed,
+                        "num_items": 0,
+                        "text": None,
+                        "md": None,
+                        "itxt": None,
+                    }
+                ]
+            )
         try:
             from .table_structure import table_data_from_json
 
             elems = []
-            inferred_tables: dict = {}
+            tables: dict = {}
             # global cid: page-major, per-page order preserved
             pdf = pdf.sort_values(["page_no", "cid"]).reset_index(drop=True)
-            for i, row in pdf.iterrows():
+            for i, row in enumerate(pdf.to_dict("records")):
                 elems.append(
                     PageElement(
                         cid=int(i),
@@ -228,18 +298,18 @@ def elements_to_documents(elements: DataFrame, tables_by_url: dict | None = None
                 )
                 tj = row.get("table_json")
                 if tj:
-                    inferred_tables[int(i)] = table_data_from_json(tj)
-            # driver-provided structures override the inferred ones
-            tables = {**inferred_tables, **(tables_by_url or {}).get(url, {})}
+                    tables[int(i)] = table_data_from_json(tj)
             doc = assemble_document(elems, tables=tables, name=url.rsplit("/", 1)[-1])
             items = [i for i, _ in doc.iterate_items(doc.body, with_groups=False)]
             return pd.DataFrame(
                 [
                     {
                         "url": url,
-                        "status": "success",
+                        "status": "partial_success" if n_failed else "success",
+                        "failure_class": "page_parse_failure" if n_failed else None,
                         "error": None,
                         "num_pages": int(pdf["page_no"].nunique()),
+                        "num_failed_pages": n_failed,
                         "num_items": len(items),
                         "text": export_to_text(doc),
                         "md": export_to_markdown(doc),
@@ -253,8 +323,10 @@ def elements_to_documents(elements: DataFrame, tables_by_url: dict | None = None
                     {
                         "url": url,
                         "status": "failure",
+                        "failure_class": "assemble_failure",
                         "error": repr(exc)[:500],
                         "num_pages": 0,
+                        "num_failed_pages": n_failed,
                         "num_items": 0,
                         "text": None,
                         "md": None,

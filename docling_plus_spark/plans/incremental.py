@@ -3,11 +3,16 @@
 The reference is batch-only (SURVEY.md §2.8); its staged-queue machinery
 maps not to Structured Streaming but to snapshot-based incremental batch:
 
-    epoch := anti-join input against committed output → extract → commit
-             results + lineage metrics atomically
+    epoch := anti-join input against committed output → extract →
+             stage both tables → commit metrics → commit results
 
-A killed job resumes from the last committed snapshot with zero
-re-processing and zero loss — the anti-join is the checkpoint.
+The **results manifest is the sole completion point**: resume anti-joins
+on committed results, so a crash anywhere before that final manifest
+rename leaves the epoch uncommitted and it is simply redone. Metrics are
+committed immediately before results (with replace-epoch semantics), so
+the redo supersedes any orphan metrics entry — lineage is never lost and
+never double-counted. A killed job resumes from the last committed
+snapshot with zero re-processing and zero loss.
 """
 
 from __future__ import annotations
@@ -51,8 +56,12 @@ def run_epoch(
         out = extract_pipeline(todo, num_partitions=num_partitions).cache()
         try:
             processed = out.count()
-            results.append(out, epoch=epoch, extra={"docs": processed})
-            metrics.append(lineage_metrics(out, epoch=epoch), epoch=epoch)
+            # stage both, then commit metrics, then commit results: the
+            # results commit is the epoch's single atomic completion point
+            m_part = metrics.stage(lineage_metrics(out, epoch=epoch), epoch)
+            r_part = results.stage(out, epoch)
+            metrics.commit(m_part, epoch, replace_epoch=True)
+            results.commit(r_part, epoch, extra={"docs": processed})
         finally:
             out.unpersist()
         return {"epoch": epoch, "processed": processed, "remaining_before": n_todo}

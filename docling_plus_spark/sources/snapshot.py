@@ -62,15 +62,27 @@ class SnapshotTable:
         return max((e["epoch"] for e in eps), default=-1)
 
     # -- write ------------------------------------------------------------
-    def append(self, df: DataFrame, epoch: Optional[int] = None,
-               extra: Optional[dict] = None) -> int:
-        """Write one epoch; manifest update is the commit."""
-        if epoch is None:
-            epoch = self.last_epoch + 1
+    def stage(self, df: DataFrame, epoch: int) -> str:
+        """Write an epoch's parquet WITHOUT committing it (no manifest
+        entry → invisible to readers until :meth:`commit`)."""
         part = f"epoch-{epoch}-{uuid.uuid4().hex[:8]}"
-        path = os.path.join(self.root, part)
-        df.write.mode("errorifexists").parquet(path)
+        df.write.mode("errorifexists").parquet(os.path.join(self.root, part))
+        return part
+
+    def commit(self, part: str, epoch: int, extra: Optional[dict] = None,
+               replace_epoch: bool = False) -> None:
+        """Manifest append — the atomic commit point for a staged dir.
+
+        ``replace_epoch=True`` drops any previous entry for the same epoch
+        first: used by the metrics table so that an orphan entry left by a
+        crash between the metrics commit and the results commit (the
+        epoch's sole completion point) is superseded, never double-counted,
+        when the epoch is redone. The orphan parquet dir stays on disk
+        unreferenced — harmless.
+        """
         m = self.manifest()
+        if replace_epoch:
+            m["epochs"] = [e for e in m["epochs"] if e["epoch"] != epoch]
         m["epochs"].append(
             {
                 "epoch": epoch,
@@ -80,6 +92,14 @@ class SnapshotTable:
             }
         )
         self._write_manifest(m)
+
+    def append(self, df: DataFrame, epoch: Optional[int] = None,
+               extra: Optional[dict] = None) -> int:
+        """Write one epoch; manifest update is the commit."""
+        if epoch is None:
+            epoch = self.last_epoch + 1
+        part = self.stage(df, epoch)
+        self.commit(part, epoch, extra)
         return epoch
 
     # -- read -------------------------------------------------------------

@@ -230,3 +230,58 @@ def test_assemble_table_with_caption():
     doc = assemble_document(elems, tables={0: data})
     md = doc.export_to_markdown()
     assert "| h1" in md and "| a" in md and "Table 1: demo" in md
+
+
+def test_failed_pages_surface_as_partial_success(spark):
+    """A page that raises must not vanish: the document reports
+    partial_success with a failed-page count; an all-failed document
+    still yields a (failure) row — output total over input."""
+    from docling_plus_spark.pdf import pipeline as pp
+    from docling_plus_spark.pdf.fixtures import synth_pdf_pages
+
+    pages = synth_pdf_pages(spark, 3)
+    # poison: page_no=null on page 0 of doc 0 → int(NaN) raises in-page
+    from pyspark.sql import functions as F
+    poisoned = pages.withColumn(
+        "page_no",
+        F.when(
+            (F.col("url").endswith("/0")) & (F.col("page_no") == 0), F.lit(None)
+        ).otherwise(F.col("page_no")),
+    )
+    out = {r["url"]: r for r in pp.pdf_pipeline(poisoned).collect()}
+    assert len(out) == 3  # every url accounted for
+    victim = [r for u, r in out.items() if u.endswith("/0")][0]
+    assert victim["status"] in ("partial_success", "failure")
+    assert victim["num_failed_pages"] >= 1
+    ok = [r for u, r in out.items() if not u.endswith("/0")]
+    assert all(r["status"] == "success" and r["num_failed_pages"] == 0 for r in ok)
+
+
+def test_table_overrides_dataframe(spark):
+    """Precomputed table structures flow in as a DataFrame joined before
+    the shuffle (no driver-side dict side channel)."""
+    from docling_plus_spark.pdf import pipeline as pp
+    from docling_plus_spark.pdf.fixtures import make_table_doc
+
+    rows = []
+    for i in range(2):
+        pages_list, _ = make_table_doc(i)
+        for p in pages_list:
+            rows.append((
+                p["url"], p["page_no"], p["width"], p["height"],
+                [(c["index"], c["text"], c["l"], c["t"], c["r"], c["b"])
+                 for c in p["cells"]],
+                [(c["id"], c["label"], c["confidence"],
+                  c["l"], c["t"], c["r"], c["b"]) for c in p["clusters"]],
+            ))
+    pages = spark.createDataFrame(rows, pp.PAGES_SCHEMA)
+    elements = pp.pages_to_elements(pages)
+    tbl_elems = elements.filter("label = 'table'").select("url", "page_no", "cid")
+    assert tbl_elems.count() == 2
+    from pyspark.sql import functions as F
+    ov = tbl_elems.withColumn(
+        "table_json",
+        F.lit('{"num_rows": 1, "num_cols": 1, "cells": [["OVERRIDE", 0, 0, 1, 1, false]]}'),
+    )
+    out = pp.elements_to_documents(elements, table_overrides=ov).collect()
+    assert any("OVERRIDE" in (r["md"] or "") for r in out)

@@ -151,3 +151,33 @@ def test_mixed_format_sniff_extension_fallback(spark):
     )
     row = extract_pipeline(df).first()
     assert row["format"] == "html" and row["status"] == "success"
+
+
+def test_epoch_commit_is_atomic_and_metrics_never_double_count(spark, tmp_path):
+    """Crash between the metrics commit and the results commit must not
+    lose or double-count lineage: the redo replaces the orphan metrics
+    entry, and the epoch is reprocessed because results never committed."""
+    from docling_plus_spark.plans.incremental import run_epoch
+    from docling_plus_spark.plans.pipeline import lineage_metrics, extract_pipeline
+    from docling_plus_spark.sources.snapshot import SnapshotTable
+    from docling_plus_spark.sources.web_pages import synth_pages_from_documents
+
+    pages = synth_pages_from_documents(spark, "/root/testdata/sf0.001").limit(20)
+    results = SnapshotTable(spark, str(tmp_path / "res"))
+    metrics = SnapshotTable(spark, str(tmp_path / "met"))
+
+    # simulate the crash window: stage+commit metrics for epoch 0, then die
+    out = extract_pipeline(pages)
+    m_part = metrics.stage(lineage_metrics(out, epoch=0), 0)
+    metrics.commit(m_part, 0, replace_epoch=True)
+    assert metrics.last_epoch == 0 and results.last_epoch == -1
+
+    # resume: epoch is redone (results never committed), metrics replaced
+    summary = run_epoch(pages, results, metrics)
+    assert summary["epoch"] == 0
+    assert summary["processed"] == 20
+    m = metrics.manifest()["epochs"]
+    assert [e["epoch"] for e in m] == [0]  # exactly one entry — no dup
+    # and a second epoch run is a no-op
+    summary2 = run_epoch(pages, results, metrics)
+    assert summary2["processed"] == 0

@@ -341,3 +341,66 @@ def elements_to_documents(
 def pdf_pipeline(pages: DataFrame) -> DataFrame:
     """pages table → one result row per document."""
     return elements_to_documents(pages_to_elements(pages))
+
+
+PREDICTED_TABLES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("cid", T.IntegerType()),
+        # reference-shape wire dicts, JSON-encoded (see table_postprocess)
+        T.StructField("pred_cells_json", T.StringType()),
+        T.StructField("word_cells_json", T.StringType()),
+    ]
+)
+
+TABLE_OVERRIDES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("table_json", T.StringType()),
+    ]
+)
+
+
+def repair_predicted_tables(predictions: DataFrame) -> DataFrame:
+    """TableFormer-style repair as a narrow Spark stage (J5 full path).
+
+    Input: PREDICTED_TABLES_SCHEMA rows — one per predicted table, with
+    the NN's structure cells and the page's word cells in the reference's
+    wire-dict shapes. Output: TABLE_OVERRIDES_SCHEMA, feedable straight
+    into :func:`elements_to_documents` ``table_overrides``. Each row is
+    independent (mapInPandas, zero shuffle); the repair itself is the
+    13-step post-processor (table_postprocess.process).
+    """
+    import json
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .table_postprocess import postprocess_predicted_table
+        from .table_structure import table_data_to_json
+
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                try:
+                    data = postprocess_predicted_table(
+                        json.loads(row["pred_cells_json"]),
+                        json.loads(row["word_cells_json"]),
+                    )
+                    tj = table_data_to_json(data)
+                except Exception:  # noqa: BLE001 — bad prediction → no override
+                    tj = None
+                out.append(
+                    {
+                        "url": row["url"],
+                        "page_no": row["page_no"],
+                        "cid": row["cid"],
+                        "table_json": tj,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in TABLE_OVERRIDES_SCHEMA.fields]
+            )
+
+    return predictions.mapInPandas(fn, TABLE_OVERRIDES_SCHEMA)

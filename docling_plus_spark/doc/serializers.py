@@ -85,15 +85,25 @@ def _apply_formatting(text: str, item: TextItem) -> str:
     return text
 
 
-def _escape_md(text: str) -> str:
+def _escape_md(text: str, escape_gt: bool = False) -> str:
     """docling-core markdown escaping: '&'/'<' html-entities and
     underscores — but NOT '>' (evidence: wiki_duck.html.md:446 escapes a
-    plain-text '&' while the webvtt goldens keep '-->' timing lines raw)."""
+    plain-text '&' while the webvtt goldens keep '-->' timing lines raw).
+
+    ``escape_gt``: the reference snapshot's JATS md goldens come from an
+    older docling-core that still escaped '>' in paragraph text (their
+    table cells stay raw — the cell path never escaped). The JATS backend
+    pins that vintage via ``DLDocument.md_escape_gt`` so its goldens
+    reproduce byte-identically; every other family follows the modern
+    rule.
+    """
     text = text.replace("&", "&amp;").replace("<", "&lt;")
+    if escape_gt:
+        text = text.replace(">", "&gt;")
     return text.replace("_", "\\_")
 
 
-def _inline_text(item: TextItem, with_hyperlink: bool = True) -> str:
+def _inline_text(item: TextItem, with_hyperlink: bool = True, escape_gt: bool = False) -> str:
     """Render one text item as inline markdown (marks + hyperlink)."""
     text = item.text
     if item.label == "code":
@@ -103,7 +113,7 @@ def _inline_text(item: TextItem, with_hyperlink: bool = True) -> str:
     elif item.label == "formula":
         text = f"${text}$"
     else:
-        text = _apply_formatting(_escape_md(text), item)
+        text = _apply_formatting(_escape_md(text, escape_gt), item)
     if item.hyperlink and with_hyperlink:
         text = f"[{text}]({item.hyperlink})"
     return text
@@ -116,6 +126,7 @@ def _is_included(item, layers) -> bool:
 class _MarkdownWriter:
     def __init__(self, doc: DLDocument, layers=None):
         self.doc = doc
+        self.escape_gt = bool(getattr(doc, "md_escape_gt", False))
         self.layers = layers or {ContentLayer.BODY}
 
     def serialize(self) -> str:
@@ -151,16 +162,16 @@ class _MarkdownWriter:
                     # captions render through their picture/table, not inline
                     pass
                 elif item.label == "title":
-                    blocks.append(f"# {_inline_text(item)}")
+                    blocks.append(f"# {_inline_text(item, escape_gt=self.escape_gt)}")
                 elif item.label == "section_header":
                     level = item.level if item.level is not None else 1
-                    blocks.append(f"{'#' * (level + 1)} {_inline_text(item)}")
+                    blocks.append(f"{'#' * (level + 1)} {_inline_text(item, escape_gt=self.escape_gt)}")
                 elif item.label == "code":
                     blocks.append(f"```\n{item.text}\n```")
                 elif item.label == "formula":
                     blocks.append(f"$${item.text}$$")
                 elif item.text:
-                    blocks.append(_inline_text(item))
+                    blocks.append(_inline_text(item, escape_gt=self.escape_gt))
             blocks.extend(self._children_blocks(item))
             return blocks
 
@@ -170,7 +181,7 @@ class _MarkdownWriter:
                 for cap_ref in item.captions:
                     cap = self.doc.resolve(cap_ref)
                     if cap.text:
-                        blocks.append(_inline_text(cap, with_hyperlink=False))
+                        blocks.append(_inline_text(cap, with_hyperlink=False, escape_gt=self.escape_gt))
                 blocks.append("<!-- image -->")
             return blocks
 
@@ -180,7 +191,7 @@ class _MarkdownWriter:
                 for cap_ref in item.captions:
                     cap = self.doc.resolve(cap_ref)
                     if cap.text:
-                        blocks.append(_inline_text(cap, with_hyperlink=False))
+                        blocks.append(_inline_text(cap, with_hyperlink=False, escape_gt=self.escape_gt))
                 tbl = self._table_block(item)
                 if tbl:
                     blocks.append(tbl)
@@ -202,7 +213,7 @@ class _MarkdownWriter:
                 elif i == 0 and child.label == "section_header":
                     level = child.level if child.level is not None else 1
                     prefix = "#" * (level + 1) + " "
-                parts.append(_inline_text(child))
+                parts.append(_inline_text(child, escape_gt=self.escape_gt))
             elif isinstance(child, PictureItem):
                 parts.append("<!-- image -->")
         return prefix + " ".join(p for p in parts if p)
@@ -229,7 +240,7 @@ class _MarkdownWriter:
                         (lead.marker or f"{enum_idx}.") if lead.enumerated else "-"
                     )
                     body = " ".join(
-                        p for p in (_inline_text(t) for t in texts) if p
+                        p for p in (_inline_text(t, escape_gt=self.escape_gt) for t in texts) if p
                     )
                     lines.append(f"{pad}{marker} {body}")
                 else:
@@ -241,7 +252,7 @@ class _MarkdownWriter:
                 for cap_ref in child.captions:
                     cap = self.doc.resolve(cap_ref)
                     if cap.text:
-                        lines.append(_inline_text(cap, with_hyperlink=False))
+                        lines.append(_inline_text(cap, with_hyperlink=False, escape_gt=self.escape_gt))
                 lines.append("<!-- image -->")
                 continue
             if not isinstance(child, TextItem):
@@ -253,7 +264,7 @@ class _MarkdownWriter:
                 marker = "-"
             inline_parts: list[str] = []
             if child.text:
-                inline_parts.append(_inline_text(child))
+                inline_parts.append(_inline_text(child, escape_gt=self.escape_gt))
             # inline groups / nested lists hooked under this list item
             sub_lists: list[str] = []
             for sub_ref in child.children:
@@ -263,7 +274,7 @@ class _MarkdownWriter:
                 elif isinstance(sub, GroupItem) and sub.label == "list":
                     sub_lists.extend(self._list_blocks(sub, indent + 1))
                 elif isinstance(sub, TextItem) and sub.text:
-                    inline_parts.append(_inline_text(sub))
+                    inline_parts.append(_inline_text(sub, escape_gt=self.escape_gt))
             body = " ".join(p for p in inline_parts if p)
             lines.append(f"{pad}{marker} {body}")
             lines.extend(sub_lists)

@@ -286,11 +286,9 @@ def test_jats_golden_itxt_and_md(name):
         (JATS_DIR / name).read_bytes(), name=name[:-5], filename=name
     )
     assert doc.export_to_element_tree() == (GOLD_DIR / f"{name}.itxt").read_text()
-    # the JATS md goldens come from a docling-core vintage that escaped '>'
-    # (the newer webvtt goldens keep '-->' raw — we match the newer rule);
-    # byte-identical once that single difference is normalized
-    gold_md = (GOLD_DIR / f"{name}.md").read_text().replace("&gt;", ">")
-    assert doc.export_to_markdown() == gold_md
+    # byte-identical: the JATS backend pins the golden's escape vintage
+    # (md_escape_gt — see doc/serializers.py:_escape_md)
+    assert doc.export_to_markdown() == (GOLD_DIR / f"{name}.md").read_text()
 
 
 def _norm_itxt_abbrev(itxt: str) -> str:

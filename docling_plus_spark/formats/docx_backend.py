@@ -38,6 +38,7 @@ _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _MATH = "{http://schemas.openxmlformats.org/officeDocument/2006/math}"
+_WPS = "{http://schemas.microsoft.com/office/word/2010/wordprocessingShape}"
 _REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 _VAL = _W + "val"
 
@@ -309,10 +310,25 @@ class _DocxWalker:
                 added.extend(self._handle_picture())
                 if tag == "p" and element.find(f".//{_W}t") is not None:
                     added.extend(self._handle_text(element))
-            # NOTE: DrawingML shape rendering (msword_backend.py:1556-1592)
-            # requires a DOCX→PDF converter (LibreOffice) the sandbox lacks;
-            # shape-only paragraphs fall through as plain (mostly empty)
-            # text, which also matches the reference's own textbox golden
+            # DrawingML shapes (msword_backend.py:296-328,1556-1592): the
+            # reference batches ALL w:drawing elements of the block into one
+            # rendered picture (DOCX→PDF→PNG via LibreOffice). The renderer
+            # is absent in-sandbox, so we emit the same single picture
+            # PLACEHOLDER per drawing-bearing block (the reference's own
+            # Pillow-failure fallback does exactly this) — md/itxt placement
+            # is byte-identical to the drawingml golden; only the embedded
+            # PNG payload in doc_json requires LibreOffice.
+            # (textbox drawings fall through to the textbox handler above;
+            # connector shapes — cNvCnPr, the lines between flowchart boxes
+            # in the textbox golden — are decoration, not content, and fall
+            # through to the plain-paragraph branch; only a real non-textbox
+            # shape renders one placeholder per block)
+            elif any(
+                d.find(f".//{_W}txbxContent") is None
+                and d.find(f".//{_WPS}cNvCnPr") is None
+                for d in element.findall(f".//{_W}drawing")
+            ):
+                added.extend(self._handle_picture())
             elif tag == "sdt":
                 content = element.find(f".//{_W}sdtContent")
                 if content is not None:

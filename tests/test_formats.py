@@ -212,12 +212,13 @@ def test_asciidoc_nested_lists_and_captions():
 
 
 DOCX_DIR = Path("/root/reference/docling/tests/data/docx")
-# 15/16 byte-identical; drawingml alone needs a LibreOffice shape
-# renderer (its golden embeds converter-produced pictures)
+# 16/16 md+itxt byte-identical (drawingml: placeholder pictures match the
+# golden's placement; only the embedded PNG payload in doc_json would
+# need the LibreOffice renderer the sandbox lacks)
 DOCX_PARITY = [
-    "docx_rich_cells", "equations", "list_after_num_headers", "lorem_ipsum",
-    "table_with_equations", "tablecell", "test_emf_docx", "textbox",
-    "unit_test_formatting", "unit_test_headers",
+    "docx_rich_cells", "drawingml", "equations", "list_after_num_headers",
+    "lorem_ipsum", "table_with_equations", "tablecell", "test_emf_docx",
+    "textbox", "unit_test_formatting", "unit_test_headers",
     "unit_test_headers_numbered", "unit_test_lists", "word_image_anchors",
     "word_sample", "word_tables",
 ]

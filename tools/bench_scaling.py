@@ -67,6 +67,56 @@ print("RESULT " + json.dumps({{
 """
 
 
+_CONTROL_RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import multiprocessing as mp
+import pyarrow.parquet as pq
+
+def _convert(args):
+    url, blob = args
+    from docling_plus_spark.formats import convert_bytes
+    from docling_plus_spark.doc.serializers import (
+        export_to_element_tree, export_to_markdown, export_to_text)
+    name = url.rsplit("/", 1)[-1].split("?", 1)[0] or "doc"
+    stem = name.rsplit(".", 1)[0] if "." in name else name
+    try:
+        doc = convert_bytes(bytes(blob or b""), "html", name=stem, filename=name)
+        return len(export_to_text(doc)) + len(export_to_markdown(doc)) + len(
+            export_to_element_tree(doc))
+    except Exception:
+        return 0
+
+cpus = int(sys.argv[1]); fx_path = sys.argv[2]
+t = pq.read_table(fx_path, columns=["url", "html"])
+rows = list(zip(t.column("url").to_pylist(), t.column("html").to_pylist()))
+with mp.Pool(cpus) as pool:   # warm-up pass untimed
+    pool.map(_convert, rows[: cpus * 4], chunksize=4)
+t0 = time.perf_counter()
+with mp.Pool(cpus) as pool:
+    sizes = pool.map(_convert, rows, chunksize=8)
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "docs": len(rows), "sec": round(dt, 3),
+    "docs_per_sec": round(len(rows) / dt, 1), "bytes_out": sum(sizes),
+}}))
+"""
+
+
+def run_control(cpus: int, fx_path: str) -> dict:
+    """No-Spark multiprocessing conversion over the same corpus: the box's
+    own core-scaling ceiling (DRAM/L3 contention floor, no engine)."""
+    code = _CONTROL_RUNNER.format(repo=REPO)
+    cmd = [sys.executable, "-c", code, str(cpus), fx_path]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, cwd=REPO)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"control failed (cpus={cpus}):\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
+
+
 def run_at(cpus: int, fx_path: str, sf_dir: str, passes: tuple = (3, 2)) -> dict:
     code = _RUNNER.format(repo=REPO)
     cmd = [
@@ -110,21 +160,62 @@ def main() -> None:
         # JVMs and compute the efficiency PER PAIRED ROUND — hour-scale
         # host throughput drift then cancels inside each pair
         rounds = int(sys.argv[sys.argv.index("--interleave") + 1])
-        effs, rows = [], []
+        with_control = "--control" in sys.argv
+        effs, ctl_effs, rows = [], [], []
         for i in range(rounds):
             r8 = run_at(8, fx_path, sy_path, passes=(1, 1))
+            c8 = run_control(8, fx_path) if with_control else None
             r32 = run_at(32, fx_path, sy_path, passes=(1, 1))
+            c32 = run_control(32, fx_path) if with_control else None
             eff = (r8["total_sec"] / r32["total_sec"]) / 4.0
             effs.append(eff)
-            rows.append((r8, r32, eff))
-            print(json.dumps({"round": i, "eff": round(eff, 3),
-                              "docs_per_sec_8": r8["docs_per_sec"],
-                              "docs_per_sec_32": r32["docs_per_sec"]}))
+            line = {"round": i, "eff": round(eff, 3),
+                    "docs_per_sec_8": r8["docs_per_sec"],
+                    "docs_per_sec_32": r32["docs_per_sec"]}
+            if with_control:
+                ctl_eff = (c8["sec"] / c32["sec"]) / 4.0
+                ctl_effs.append(ctl_eff)
+                line.update({"ctl_eff": round(ctl_eff, 3),
+                             "ctl_docs_per_sec_8": c8["docs_per_sec"],
+                             "ctl_docs_per_sec_32": c32["docs_per_sec"],
+                             "engine_over_ctl": round(eff / ctl_eff, 3)})
+            rows.append((r8, r32, eff, c8, c32))
+            print(json.dumps(line), flush=True)
         effs_sorted = sorted(effs)
         median = effs_sorted[len(effs) // 2]
-        print(json.dumps({"interleaved_rounds": rounds,
-                          "efficiencies": [round(e, 3) for e in effs],
-                          "median_efficiency": round(median, 3)}))
+        summary = {"interleaved_rounds": rounds,
+                   "efficiencies": [round(e, 3) for e in effs],
+                   "median_efficiency": round(median, 3)}
+        if with_control:
+            ctl_sorted = sorted(ctl_effs)
+            ctl_median = ctl_sorted[len(ctl_effs) // 2]
+            summary.update({
+                "control_efficiencies": [round(e, 3) for e in ctl_effs],
+                "control_median_efficiency": round(ctl_median, 3),
+                "engine_over_control_median": round(median / ctl_median, 3),
+            })
+        print(json.dumps(summary), flush=True)
+        # persist the evidence table
+        ts = time.strftime("%Y-%m-%d %H:%M:%S")
+        lines = [f"\n## Scaling evidence — interleaved paired rounds ({ts})\n",
+                 "\nSame job, same input, alternating local[8]/local[32] fresh JVMs"
+                 " (paired rounds cancel hour-scale host drift); paired no-Spark"
+                 " multiprocessing control = the box's own core-scaling ceiling.\n",
+                 "\n| round | engine eff | control eff | engine/control |"
+                 " engine docs/s @8→@32 | control docs/s @8→@32 |",
+                 "\n|---|---|---|---|---|---|"]
+        for i, (r8, r32, eff, c8, c32) in enumerate(rows):
+            ce = (c8["sec"] / c32["sec"]) / 4.0 if c8 else float("nan")
+            lines.append(
+                f"\n| {i} | {eff:.3f} | {ce:.3f} | {eff / ce:.3f} |"
+                f" {r8['docs_per_sec']} → {r32['docs_per_sec']} |"
+                f" {c8['docs_per_sec'] if c8 else '-'} → {c32['docs_per_sec'] if c32 else '-'} |")
+        lines.append(f"\n\n**median engine efficiency {median:.3f}"
+                     + (f", median control {ctl_median:.3f},"
+                        f" engine/control {median / ctl_median:.3f}**"
+                        if with_control else "**") + "\n")
+        with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
+            fh.writelines(lines)
         return
 
     results = {}

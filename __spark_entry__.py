@@ -436,6 +436,20 @@ def _q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, k=5, tables=8, bits=4)
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.ann import cosine_topk_ivf
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf(emb, k=5, n_lists=16, nprobe=4)
+
+
+def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.dedup import winnow_fingerprints
+
+    d = _docs(spark, sf_dir)
+    return winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import embedding_near_dup
 
@@ -1328,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": _q_simhash_near,
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frame_sample,
@@ -1573,6 +1589,8 @@ SELECT id_a, rk, id_b, cosine FROM (
 ) WHERE rk <= 5
 """,
         "ann_topk_bucketed": _ann_bucketed_oracle(),
+        "ann_topk_ivf": _ann_ivf_oracle(),
+        "winnow_fingerprint": _winnow_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "media_decode": f"""
 WITH {_MEDIA_CTE}
@@ -1659,6 +1677,45 @@ _COS_SQL = (
     " / (sqrt(list_dot_product(a.emb, a.emb))"
     " * sqrt(list_dot_product(b.emb, b.emb))), 4)"
 )
+
+
+def _ann_ivf_oracle(n_lists: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """DuckDB twin of cosine_topk_ivf: same deterministic centroids
+    (lowest-id vectors), same assignment/probe ranking, same tiebreaks."""
+    return f"""
+WITH base AS (SELECT vec_id AS id, embedding::double[] AS emb FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, emb AS cemb
+  FROM (SELECT id, emb FROM base ORDER BY id LIMIT {n_lists})
+),
+scored AS (
+  SELECT b.id, b.emb, c.list_id,
+         round(list_dot_product(b.emb, c.cemb)
+               / (sqrt(list_dot_product(b.emb, b.emb))
+                  * sqrt(list_dot_product(c.cemb, c.cemb))), 4) AS ccos
+  FROM base b CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, list_id) AS crk
+  FROM scored
+),
+dat AS (SELECT list_id, id, emb FROM ranked WHERE crk = 1),
+probe AS (SELECT list_id, id, emb FROM ranked WHERE crk <= {nprobe}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, {_COS_SQL} AS cosine
+  FROM probe a JOIN dat b USING (list_id) WHERE a.id != b.id
+)
+SELECT id_a, rk, id_b, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rk
+  FROM cand
+) WHERE rk <= {k}
+"""
+
+
+def _winnow_oracle() -> str:
+    from docling_plus_spark.operators.dedup import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("doc_id", "text", k=8, window=4)
 
 
 def _lsh_keyed_cte() -> str:

@@ -169,3 +169,75 @@ def embedding_near_dup(
         "id_a", "id_b", F.round(with_cosine(pairs), 4).alias("cosine")
     )
     return scored.filter(F.col("cosine") >= threshold)
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic coarse-quantize
+    → probe → in-list scan plan.
+
+    * **Centroids**: the ``n_lists`` lowest-id vectors (deterministic and
+      SQL-twinnable; a production deployment trains them with k-means
+      offline — the *plan shape* below is identical either way and is
+      what matters at scale).
+    * **Assignment**: every vector joins its nearest centroid's list
+      (broadcast join against the tiny centroid table — no shuffle).
+    * **Probe**: each query vector searches its ``nprobe`` nearest lists;
+      candidates are scanned only within those lists, so the expensive
+      pair formation shuffles on ``list_id`` and touches
+      ~``nprobe/n_lists`` of the corpus per query instead of all of it.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    w_cent = Window.orderBy("id")
+    cents = (
+        base.orderBy("id")
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(w_cent) - 1).alias("list_id"),
+            F.col("emb").alias("cemb"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "emb",
+        "list_id",
+        F.round(
+            _dot(F.col("emb"), F.col("cemb"))
+            / (_norm(F.col("emb")) * _norm(F.col("cemb"))),
+            4,
+        ).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("list_id"))
+    ranked = scored.withColumn("crk", F.row_number().over(w_assign))
+    data = ranked.filter(F.col("crk") == 1).select("list_id", "id", "emb")
+    probe = ranked.filter(F.col("crk") <= nprobe).select("list_id", "id", "emb")
+    pairs = (
+        probe.alias("a")
+        .join(data.alias("b"), "list_id")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.emb").alias("emb_a"),
+            F.col("b.emb").alias("emb_b"),
+        )
+        .distinct()
+    )
+    scored_pairs = pairs.select(
+        "id_a", "id_b", F.round(with_cosine(pairs), 4).alias("cosine")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored_pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "rk", "id_b", "cosine")
+    )

@@ -332,3 +332,101 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling-hash family)
+
+WINNOW_BASE = 257
+WINNOW_MOD = (1 << 31) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS scheme): polynomial hash of every k-char gram, then the minimum
+    hash of each ``window`` of consecutive grams, distinct and sorted.
+    Guarantees every match of length >= k+window-1 shares a fingerprint.
+
+    Pure JVM column expressions (transform/aggregate over the string) —
+    no Python, no shuffle; the arithmetic (base 257 mod 2^31-1, ascii
+    code points) is replayed exactly by the DuckDB oracle twin.
+    """
+    s = F.lower(F.trim(F.col(text_col)))
+    length = F.length(s)
+
+    def _poly(seq: Column) -> Column:
+        return F.aggregate(
+            seq,
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * WINNOW_BASE + F.ascii(F.substr(s, j, F.lit(1))))
+            % WINNOW_MOD,
+        )
+
+    gram_at = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * WINNOW_BASE + F.ascii(F.substr(s, i + j, F.lit(1))))
+        % WINNOW_MOD,
+    )
+    grams = (
+        F.when(length == 0, F.array(F.lit(0).cast("long")))
+        .when(length < k, F.array(_poly(F.sequence(F.lit(1), length))))
+        .otherwise(F.transform(F.sequence(F.lit(1), length - k + 1), gram_at))
+    )
+    n = F.size(grams)
+    wins = F.when(n <= window, F.array(F.array_min(grams))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda w: F.array_min(F.slice(grams, w, window)),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(wins)).alias("fingerprints"),
+    )
+
+
+def winnow_fingerprints_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 8,
+    window: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (full SELECT)."""
+    B, M = WINNOW_BASE, WINNOW_MOD
+    return f"""
+WITH g AS (
+  SELECT {id_expr} AS id, lower(trim({text_expr})) AS s FROM {table}
+),
+grams AS (
+  SELECT id,
+    CASE
+      WHEN length(s) = 0 THEN [0::bigint]
+      WHEN length(s) < {k} THEN
+        [list_reduce(list_prepend(0::bigint,
+           list_transform(range(1, length(s)+1), j -> ascii(substr(s, j::int, 1))::bigint)),
+           (acc, c) -> (acc * {B} + c) % {M})]
+      ELSE
+        list_transform(range(1, length(s) - {k} + 2),
+          i -> list_reduce(list_prepend(0::bigint,
+                 list_transform(range(0, {k}), j -> ascii(substr(s, (i + j)::int, 1))::bigint)),
+                 (acc, c) -> (acc * {B} + c) % {M}))
+    END AS gh
+  FROM g
+),
+fps AS (
+  SELECT id,
+    CASE WHEN len(gh) <= {window} THEN [list_min(gh)]
+    ELSE list_transform(range(1, len(gh) - {window} + 2), w -> list_min(gh[w:w+{window}-1]))
+    END AS wins
+  FROM grams
+)
+SELECT id, list_sort(list_distinct(wins)) AS fingerprints FROM fps
+"""

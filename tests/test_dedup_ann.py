@@ -207,3 +207,67 @@ def test_simhash_four_block_recall(spark):
     )
     got = simhash_near_pairs(sim_df, max_hamming=3).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 3)]
+
+
+def test_ivf_probe_path_finds_near_duplicate(spark):
+    """A vector cloned with tiny noise must appear as its source's top
+    IVF neighbour (the clone lands in the same coarse list)."""
+    import random
+
+    from docling_plus_spark.operators.ann import cosine_topk_ivf
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(16)]))
+    src = rows[30][1]
+    rows.append((1000, [v + 0.001 for v in src]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk_ivf(emb, k=3, n_lists=8, nprobe=3)
+    top = {r.id_a: r.id_b for r in out.collect() if r.rk == 1}
+    assert top[1000] == 30 and top[30] == 1000
+
+
+def test_ivf_candidate_volume_bounded(spark):
+    """IVF must scan only the probed lists: candidate pairs per query
+    stay well under brute force's n-1."""
+    from docling_plus_spark.operators.ann import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    out = cosine_topk_ivf(emb, k=n, n_lists=16, nprobe=2)
+    per_query = out.groupBy("id_a").count().agg(F.max("count")).collect()[0][0]
+    assert per_query < n - 1  # strictly fewer candidates than brute force
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint-alphabet
+    documents share none."""
+    from docling_plus_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "completely different head " + shared),
+            (3, "zzzz qqqq vvvv kkkk xxxx wwww yyyy uuuu"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.id: set(r.fingerprints) for r in winnow_fingerprints(df).collect()}
+    assert fps[1] & fps[2]           # shared substring → shared fingerprint
+    assert not (fps[1] & fps[3])     # disjoint alphabets → no overlap
+
+
+def test_winnow_fingerprints_short_and_empty(spark):
+    from docling_plus_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "abc"), (3, "abcdefgh")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r.fingerprints for r in winnow_fingerprints(df).collect()}
+    assert rows[1] == [0]
+    assert len(rows[2]) == 1 and rows[2][0] > 0
+    assert len(rows[3]) == 1

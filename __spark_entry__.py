@@ -999,6 +999,48 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("url", "status", "num_items", "text")
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 custom stateful streaming operator: cross-batch first-seen
+    dedup via applyInPandasWithState (streaming/stream.py:dedup_stream).
+    Two micro-batches (doc_id parity split) with overlapping hashes; the
+    emitted key set must equal the distinct hash set."""
+    import os
+    import tempfile
+
+    from docling_plus_spark.functions import doc_hash
+    from docling_plus_spark.streaming.stream import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="dps_sdedup_q_")
+    inp, outp, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    pages = synth_pages_from_documents(spark, sf_dir).withColumn(
+        "doc_hash", doc_hash(F.col("html"))
+    )
+    # batch 2 repeats half of batch 1's documents plus fresh ones
+    pages.filter(F.xxhash64("url") % 2 == 0).select("doc_hash", "url").coalesce(
+        2
+    ).write.parquet(os.path.join(inp, "b1"))
+    pages.select("doc_hash", "url").coalesce(2).write.parquet(
+        os.path.join(inp, "b2")
+    )
+    stream = (
+        spark.readStream.schema("doc_hash string, url string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(os.path.join(inp, "*"))
+    )
+    q = (
+        dedup_stream(stream, key_col="doc_hash")
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(outp).select("key")
+
+
 # ---------------------------------------------------------------------------
 # A7/A8: per-partition lineage rolled up to the deterministic grain
 # (status × failure_class) — partition ids and wall-ms are run-dependent,
@@ -1344,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "winnow_fingerprint": _q_winnow_fingerprint,
+        "streaming_dedup": _q_streaming_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frame_sample,
@@ -1591,6 +1634,10 @@ SELECT id_a, rk, id_b, cosine FROM (
         "ann_topk_bucketed": _ann_bucketed_oracle(),
         "ann_topk_ivf": _ann_ivf_oracle(),
         "winnow_fingerprint": _winnow_oracle(),
+        "streaming_dedup": f"""
+WITH {SYNTH_PAGE_ORACLE_CTE}
+SELECT DISTINCT sha256(CAST(html AS VARCHAR)) AS key FROM web_pages
+""",
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "media_decode": f"""
 WITH {_MEDIA_CTE}

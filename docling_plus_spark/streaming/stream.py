@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from docling_plus_spark.plans.pipeline import extract_pipeline
 from docling_plus_spark.sources.web_pages import WEB_PAGES_SCHEMA
@@ -62,3 +63,48 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(pages: DataFrame, key_col: str = "doc_hash") -> DataFrame:
+    """Custom stateful streaming operator: cross-batch first-seen dedup.
+
+    ``applyInPandasWithState`` keyed on the document hash — per-key state
+    is one boolean ("seen"), so state size is O(distinct keys) and each
+    micro-batch emits only documents whose hash has never been seen in
+    any earlier batch (exactly the semantics a continuous crawl-ingest
+    dedup needs; the batch twin is operators/dedup.exact_dedup).
+
+    State-store scale note: keys are fixed-width hashes; at 10^12 docs the
+    state is RocksDB-backed and partitioned by the same hash — no skew,
+    no growth beyond distinct-key count. A production deployment would
+    add a TTL via GroupStateTimeout.EventTimeTimeout to bound it.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "key string, url string"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if not state.exists:
+            first = None
+            for pdf in pdfs:
+                if first is None and len(pdf):
+                    first = pd.DataFrame(
+                        {"key": [key[0]], "url": [pdf["url"].iloc[0]]}
+                    )
+            state.update((True,))
+            if first is not None:
+                yield first
+        else:
+            for _ in pdfs:  # drain the iterator; nothing new to emit
+                pass
+
+    keyed = pages.select(F.col(key_col).alias("key"), "url").groupBy("key")
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

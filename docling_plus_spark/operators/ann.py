@@ -192,6 +192,11 @@ def cosine_topk_ivf(
       candidates are scanned only within those lists, so the expensive
       pair formation shuffles on ``list_id`` and touches
       ~``nprobe/n_lists`` of the corpus per query instead of all of it.
+
+    Scale note: ``list_id`` is also the shuffle key, so ``n_lists`` caps
+    the candidate join's parallelism AND the per-list pair volume — size
+    it ~sqrt(corpus)/target_list_len in production (10⁴-10⁵ lists at
+    10⁹ vectors), exactly as FAISS does; the defaults here are test-scale.
     """
     base = emb.select(
         F.col(id_col).alias("id"),

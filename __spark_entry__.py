@@ -346,6 +346,7 @@ _CORPUS_CTE = """corpus AS (
 
 def _minhash_oracle_prefix(k: int = 16, bands: int = 4) -> str:
     from docling_plus_spark.operators.dedup import (
+        hashed_shingles_sql,
         lsh_band_keys_sql,
         minhash_signature_sql,
         shingles_sql,
@@ -354,7 +355,8 @@ def _minhash_oracle_prefix(k: int = 16, bands: int = 4) -> str:
     rows = k // bands
     return f"""{_CORPUS_CTE},
 sh AS (SELECT id, {shingles_sql("text")} AS shingles FROM corpus),
-sig AS (SELECT id, {minhash_signature_sql("shingles", k)} AS sig FROM sh),
+hs AS (SELECT id, {hashed_shingles_sql("shingles")} AS hs FROM sh),
+sig AS (SELECT id, {minhash_signature_sql("hs", k)} AS sig FROM hs),
 bands AS (SELECT id, sig, unnest({lsh_band_keys_sql("sig", bands, rows)}) AS band_key FROM sig),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
@@ -368,11 +370,16 @@ pairs AS (
 
 
 def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from docling_plus_spark.operators.dedup import minhash_signature, shingles
+    from docling_plus_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_signature_from_hashes,
+        shingles,
+    )
 
     d = _neardup_corpus(spark, sf_dir)
-    sig = minhash_signature(shingles(F.col("text")), 16)
-    return d.select(
+    hs = d.select("id", hashed_shingles(shingles(F.col("text"))).alias("_hs"))
+    sig = minhash_signature_from_hashes(F.col("_hs"), 16)
+    return hs.select(
         "id",
         *[F.element_at(sig, i + 1).alias(f"s{i}") for i in range(4)],
     )
@@ -1657,14 +1664,19 @@ FROM media
 
 
 def _minhash_sig_oracle() -> str:
-    from docling_plus_spark.operators.dedup import minhash_signature_sql, shingles_sql
+    from docling_plus_spark.operators.dedup import (
+        hashed_shingles_sql,
+        minhash_signature_sql,
+        shingles_sql,
+    )
 
-    sig = minhash_signature_sql("shingles", 16)
+    sig = minhash_signature_sql("hs", 16)
     cols = ", ".join(f"sig[{i + 1}] AS s{i}" for i in range(4))
     return f"""
 WITH {_CORPUS_CTE},
 sh AS (SELECT id, {shingles_sql("text")} AS shingles FROM corpus),
-sig AS (SELECT id, {sig} AS sig FROM sh)
+hs AS (SELECT id, {hashed_shingles_sql("shingles")} AS hs FROM sh),
+sig AS (SELECT id, {sig} AS sig FROM hs)
 SELECT id, {cols} FROM sig
 """
 

@@ -70,26 +70,76 @@ def shingles_sql(text_expr: str, n: int = 3) -> str:
 
 # ---------------------------------------------------------------------------
 # MinHash
+#
+# One md5 per shingle, then k *affine* permutations (a_j·h + b_j) mod p
+# with p = 2^31 - 1 — the classic universal-hash MinHash family. The k
+# permutations are integer multiply-add, not k independent md5 passes,
+# which cuts the signature stage's CPU ~k-fold. p keeps every
+# intermediate below 2^62, so the arithmetic is exact in both Spark
+# (64-bit long) and DuckDB (BIGINT, which *errors* on overflow).
 
-def _salted_hasher(j: int):
-    # NB: must return a SINGLE-arg lambda — F.transform passes (elem, idx)
-    # to two-arg callables, which would silently override a default arg
-    prefix = f"{j}:"
-    return lambda s: md5_long(F.concat(F.lit(prefix), s))
+MINHASH_PRIME = (1 << 31) - 1
 
 
-def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
-    """k-element MinHash signature: sig[j] = min over shingles of
-    h_j(s), with h_j the portable md5→bigint hash salted by j."""
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, _salted_hasher(j))) for j in range(k)]
+def _perm_constants(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) affine-permutation constants, derived
+    from md5 of the index so Spark and the SQL oracle share them."""
+    import hashlib
+
+    a = [
+        int(hashlib.md5(f"minhash-a-{j}".encode()).hexdigest()[:8], 16)
+        % (MINHASH_PRIME - 1)
+        + 1
+        for j in range(k)
+    ]
+    b = [
+        int(hashlib.md5(f"minhash-b-{j}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        for j in range(k)
+    ]
+    return a, b
+
+
+def hashed_shingles(shingle_col: Column) -> Column:
+    """md5→bigint mod p of every shingle — the one expensive hash pass.
+
+    Keep this in its own projection: 16 downstream ``array_min`` consumers
+    reference it, and CollapseProject declines to inline a non-cheap
+    expression with >1 reference, so it is evaluated once per row.
+    """
+    return F.transform(shingle_col, lambda s: md5_long(s) % F.lit(MINHASH_PRIME))
+
+
+def _affine_perm(a: int, b: int):
+    # NB: must be a SINGLE-arg lambda — F.transform passes (elem, idx) to
+    # two-or-more-arg callables, so default args would be overridden
+    return lambda h: (F.lit(a).cast("long") * h + F.lit(b).cast("long")) % F.lit(
+        MINHASH_PRIME
     )
 
 
-def minhash_signature_sql(shingles_expr: str, k: int = 16) -> str:
+def minhash_signature_from_hashes(hs_col: Column, k: int = 16) -> Column:
+    """sig[j] = min over hashed shingles of (a_j·h + b_j) mod p."""
+    a, b = _perm_constants(k)
+    return F.array(
+        *[F.array_min(F.transform(hs_col, _affine_perm(a[j], b[j]))) for j in range(k)]
+    )
+
+
+def hashed_shingles_sql(shingles_expr: str) -> str:
+    """DuckDB twin of :func:`hashed_shingles`."""
+    return (
+        f"list_transform({shingles_expr}, "
+        f"s -> ('0x'||substr(md5(s),1,15))::bigint % {MINHASH_PRIME})"
+    )
+
+
+def minhash_signature_sql(hs_expr: str, k: int = 16) -> str:
+    """DuckDB twin of :func:`minhash_signature_from_hashes` — takes the
+    *hashed* shingle list expression (compute it once in a CTE)."""
+    a, b = _perm_constants(k)
     mins = ", ".join(
-        f"list_min(list_transform({shingles_expr}, "
-        f"s -> ('0x'||substr(md5('{j}:'||s),1,15))::bigint))"
+        f"list_min(list_transform({hs_expr}, "
+        f"h -> ({a[j]}::bigint * h + {b[j]}::bigint) % {MINHASH_PRIME}))"
         for j in range(k)
     )
     return f"[{mins}]"
@@ -127,10 +177,17 @@ def minhash_prepare(
     bands: int = 4,
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig:array<long>, band_key exploded) — the LSH-ready table."""
+    """(id, sig:array<long>, band_key exploded) — the LSH-ready table.
+
+    Two projections on purpose: the hashed-shingle array is computed in
+    its own select so the k signature mins reuse it (one md5 pass/row).
+    """
     rows = k // bands
-    sh = shingles(F.col(text_col), n)
-    out = df.select(F.col(id_col).alias("id"), minhash_signature(sh, k).alias("sig"))
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        hashed_shingles(shingles(F.col(text_col), n)).alias("_hs"),
+    )
+    out = hs.select("id", minhash_signature_from_hashes(F.col("_hs"), k).alias("sig"))
     return out.select(
         "id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band_key")
     )

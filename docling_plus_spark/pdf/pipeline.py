@@ -335,7 +335,21 @@ def elements_to_documents(
                 ]
             )
 
-    return elements.groupBy("url").applyInPandas(fn, PDF_DOC_SCHEMA)
+    # Pin the shuffle's partition count instead of letting AQE coalesce:
+    # AQE sizes post-shuffle partitions by *bytes*, but this stage's cost
+    # is Python CPU per group (~1000x the per-byte cost of JVM work), so
+    # byte-based coalescing collapses a small element table onto one task
+    # and serializes the whole stage (measured 35s -> 4.5s at sf0.1 on
+    # local[32]). An explicit repartition-by-key is AQE-exempt and the
+    # groupBy reuses its hash partitioning - still exactly one shuffle.
+    spark = elements.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return elements.repartition(n, "url").groupBy("url").applyInPandas(
+        fn, PDF_DOC_SCHEMA
+    )
 
 
 def pdf_pipeline(pages: DataFrame) -> DataFrame:

@@ -457,6 +457,13 @@ def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.quality import gopher_signals
+
+    d = _docs(spark, sf_dir)
+    return gopher_signals(d, "doc_id", "text")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import embedding_near_dup
 
@@ -1393,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "winnow_fingerprint": _q_winnow_fingerprint,
+        "gopher_quality": _q_gopher_quality,
         "streaming_dedup": _q_streaming_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
@@ -1641,6 +1649,7 @@ SELECT id_a, rk, id_b, cosine FROM (
         "ann_topk_bucketed": _ann_bucketed_oracle(),
         "ann_topk_ivf": _ann_ivf_oracle(),
         "winnow_fingerprint": _winnow_oracle(),
+        "gopher_quality": _gopher_oracle(),
         "streaming_dedup": f"""
 WITH {SYNTH_PAGE_ORACLE_CTE}
 SELECT DISTINCT sha256(CAST(html AS VARCHAR)) AS key FROM web_pages
@@ -1769,6 +1778,12 @@ SELECT id_a, rk, id_b, cosine FROM (
   FROM cand
 ) WHERE rk <= {k}
 """
+
+
+def _gopher_oracle() -> str:
+    from docling_plus_spark.operators.quality import gopher_signals_sql
+
+    return gopher_signals_sql("doc_id", "text")
 
 
 def _winnow_oracle() -> str:

@@ -1,0 +1,237 @@
+"""Heuristic document-quality signals for training-data curation.
+
+Not present in the reference (docling converts; it does not curate) —
+this is the standard repetition/quality rule family (Gopher, Rae et al.
+2021, "Scaling Language Models", table A1; also used by RefinedWeb,
+Dolma, FineWeb) that a web-scale extraction pipeline applies right
+after main-content extraction:
+
+* word-count bounds, mean word length bounds
+* symbol-to-word ratio (``#`` and ellipsis)
+* fraction of lines that start with a bullet / end with an ellipsis
+* fraction of words containing an alphabetic character
+* stop-word presence (>= 2 of the canonical 8)
+* duplicate-line fraction and duplicate-line *character* fraction
+
+Everything is a JVM-side column expression over let-bound token arrays
+(see :func:`..operators.dedup.winnow_fingerprints` for why intermediates
+must be bound as HOF lambda variables: CollapseProject inlines a
+used-once projection alias into every lambda invocation, turning the
+split into O(len^2) per document). No Python, no shuffle, one
+projection — at 10^12 documents this runs entirely inside the scan
+stage. The DuckDB oracle twin replays the identical arithmetic on list
+functions, so signals match to the bit (ratios are exact IEEE divisions
+of the same integers on both engines).
+
+Tokenization contract (identical on both engines, stated once):
+words = non-empty runs after splitting on ``\\s+``; lines = non-empty
+values after trimming each ``\\n``-separated raw line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The canonical Gopher stop-word list (Rae et al. 2021, A1.1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Gopher rule thresholds (A1.1 quality + A1.2 repetition subset that is
+# computable from a single document without n-gram tables).
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MAX_BULLET_FRAC = 0.9
+MAX_ELLIPSIS_FRAC = 0.3
+MIN_ALPHA_FRAC = 0.8
+MIN_STOP_HITS = 2
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_CHAR_FRAC = 0.20
+
+
+def _nonzero(c: Column) -> Column:
+    return F.when(c == 0, F.lit(1)).otherwise(c)
+
+
+def gopher_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher quality/repetition signals + pass verdict.
+
+    Output: (id, word_count, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, stop_hits, dup_line_frac, dup_char_frac,
+    gopher_pass). Pure column expressions; the words and lines arrays
+    are let-bound so each is computed once per row.
+    """
+    t = F.col(text_col)
+
+    words_expr = F.filter(
+        F.split(t, r"\s+"), lambda w: F.length(w) > 0
+    )
+    lines_expr = F.filter(
+        F.transform(F.split(t, r"\n"), F.trim), lambda l: F.length(l) > 0
+    )
+
+    def _sig(ws: Column, ls: Column) -> Column:
+        wc = F.size(ws)
+        char_sum = F.aggregate(
+            ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        mean_wl = char_sum.cast("double") / _nonzero(wc).cast("double")
+        low = F.lower(t)
+        n_hash = F.length(low) - F.length(F.replace(low, F.lit("#")))
+        # non-overlapping '...' occurrences + one per '…'
+        n_dots = (
+            F.length(low) - F.length(F.replace(low, F.lit("...")))
+        ) / F.lit(3)
+        n_ell = F.length(low) - F.length(F.replace(low, F.lit("…")))
+        symbol_ratio = (
+            (n_hash + n_dots + n_ell).cast("double")
+            / _nonzero(wc).cast("double")
+        )
+        lc = F.size(ls)
+        bullets = F.size(
+            F.filter(
+                ls,
+                lambda l: l.startswith("- ")
+                | l.startswith("* ")
+                | l.startswith("•"),
+            )
+        )
+        ellipsis_ends = F.size(
+            F.filter(ls, lambda l: l.endswith("...") | l.endswith("…"))
+        )
+        alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+        stop_hits = F.aggregate(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.array_contains(F.transform(ws, F.lower), s), 1).otherwise(0),
+        )
+        dl = F.array_distinct(ls)
+        dup_line_frac = (
+            (lc - F.size(dl)).cast("double") / _nonzero(lc).cast("double")
+        )
+        line_chars = F.aggregate(
+            ls, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        )
+        distinct_chars = F.aggregate(
+            dl, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        )
+        dup_char_frac = (
+            (line_chars - distinct_chars).cast("double")
+            / _nonzero(line_chars).cast("double")
+        )
+        gopher_pass = (
+            wc.between(MIN_WORDS, MAX_WORDS)
+            & mean_wl.between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+            & (symbol_ratio < MAX_SYMBOL_RATIO)
+            & (
+                bullets.cast("double") / _nonzero(lc).cast("double")
+                < MAX_BULLET_FRAC
+            )
+            & (
+                ellipsis_ends.cast("double") / _nonzero(lc).cast("double")
+                < MAX_ELLIPSIS_FRAC
+            )
+            & (
+                alpha_words.cast("double") / _nonzero(wc).cast("double")
+                > MIN_ALPHA_FRAC
+            )
+            & (stop_hits >= MIN_STOP_HITS)
+            & (dup_line_frac < MAX_DUP_LINE_FRAC)
+            & (dup_char_frac < MAX_DUP_CHAR_FRAC)
+        )
+        return F.struct(
+            wc.cast("long").alias("word_count"),
+            mean_wl.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            (
+                bullets.cast("double") / _nonzero(lc).cast("double")
+            ).alias("bullet_frac"),
+            (
+                ellipsis_ends.cast("double") / _nonzero(lc).cast("double")
+            ).alias("ellipsis_frac"),
+            (
+                alpha_words.cast("double") / _nonzero(wc).cast("double")
+            ).alias("alpha_frac"),
+            stop_hits.cast("long").alias("stop_hits"),
+            dup_line_frac.alias("dup_line_frac"),
+            dup_char_frac.alias("dup_char_frac"),
+            gopher_pass.alias("gopher_pass"),
+        )
+
+    sig = F.element_at(
+        F.transform(
+            F.array(words_expr),
+            lambda ws: F.element_at(
+                F.transform(F.array(lines_expr), lambda ls: _sig(ws, ls)), 1
+            ),
+        ),
+        1,
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("s")).select(
+        "id", "s.*"
+    )
+
+
+def gopher_signals_sql(
+    id_expr: str = "doc_id", text_expr: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`gopher_signals` (full SELECT, same names)."""
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id, {text_expr} AS t,
+    list_filter(regexp_split_to_array({text_expr}, '\\s+'),
+                w -> length(w) > 0) AS ws,
+    list_filter(list_transform(string_split({text_expr}, chr(10)), l -> trim(l)),
+                l -> length(l) > 0) AS ls
+  FROM {table}
+),
+m AS (
+  SELECT id, t, ws, ls,
+    len(ws) AS wc,
+    list_sum(list_prepend(0::bigint,
+      list_transform(ws, w -> length(w)::bigint))) AS char_sum,
+    len(ls) AS lc,
+    list_distinct(ls) AS dl,
+    length(lower(t)) - length(replace(lower(t), '#', '')) AS n_hash,
+    (length(lower(t)) - length(replace(lower(t), '...', ''))) / 3 AS n_dots,
+    length(lower(t)) - length(replace(lower(t), '…', '')) AS n_ell,
+    len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'
+                          OR l LIKE '•%')) AS bullets,
+    len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_ends,
+    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    len(list_filter([{stop_list}],
+        s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS stop_hits,
+    list_sum(list_prepend(0::bigint,
+      list_transform(ls, l -> length(l)::bigint))) AS line_chars,
+    list_sum(list_prepend(0::bigint,
+      list_transform(list_distinct(ls), l -> length(l)::bigint))) AS distinct_chars
+  FROM base
+)
+SELECT id,
+  wc::bigint AS word_count,
+  char_sum::double / greatest(wc, 1) AS mean_word_len,
+  (n_hash + n_dots + n_ell)::double / greatest(wc, 1) AS symbol_ratio,
+  bullets::double / greatest(lc, 1) AS bullet_frac,
+  ellipsis_ends::double / greatest(lc, 1) AS ellipsis_frac,
+  alpha_words::double / greatest(wc, 1) AS alpha_frac,
+  stop_hits::bigint AS stop_hits,
+  (lc - len(dl))::double / greatest(lc, 1) AS dup_line_frac,
+  (line_chars - distinct_chars)::double / greatest(line_chars, 1)
+    AS dup_char_frac,
+  (wc BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+   AND char_sum::double / greatest(wc, 1)
+       BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+   AND (n_hash + n_dots + n_ell)::double / greatest(wc, 1) < {MAX_SYMBOL_RATIO}
+   AND bullets::double / greatest(lc, 1) < {MAX_BULLET_FRAC}
+   AND ellipsis_ends::double / greatest(lc, 1) < {MAX_ELLIPSIS_FRAC}
+   AND alpha_words::double / greatest(wc, 1) > {MIN_ALPHA_FRAC}
+   AND stop_hits >= {MIN_STOP_HITS}
+   AND (lc - len(dl))::double / greatest(lc, 1) < {MAX_DUP_LINE_FRAC}
+   AND (line_chars - distinct_chars)::double / greatest(line_chars, 1)
+       < {MAX_DUP_CHAR_FRAC}) AS gopher_pass
+FROM m
+"""

@@ -271,3 +271,61 @@ def test_winnow_fingerprints_short_and_empty(spark):
     assert rows[1] == [0]
     assert len(rows[2]) == 1 and rows[2][0] > 0
     assert len(rows[3]) == 1
+
+
+def test_gopher_signals_rules(spark):
+    """Hand-built documents exercising each Gopher rule branch."""
+    from docling_plus_spark.operators.quality import gopher_signals
+
+    good = (
+        "The report describes the results of the survey and shows that "
+        "most people have agreed with the main findings. "
+    ) * 5  # ~90 words, stopword-rich, clean prose
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    repeated = "the same line of repeated text here\n" * 10
+    symbols = "### " + "# ".join(["tag"] * 60)
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, bullets),
+            (3, repeated + good),
+            (4, symbols),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.asDict() for r in gopher_signals(df).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["bullet_frac"] == 1.0 and out[2]["gopher_pass"] is False
+    assert out[3]["dup_line_frac"] > 0.3 and out[3]["gopher_pass"] is False
+    assert out[4]["symbol_ratio"] > 0.1 and out[4]["gopher_pass"] is False
+    assert out[5]["word_count"] == 0 and out[5]["gopher_pass"] is False
+
+
+def test_gopher_signals_matches_duckdb_oracle(spark):
+    """Bit-identical signals vs the DuckDB twin on real corpus text."""
+    import duckdb
+
+    from docling_plus_spark.operators.quality import (
+        gopher_signals,
+        gopher_signals_sql,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sp = {
+        r.id: r.asDict()
+        for r in gopher_signals(d, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.sql(gopher_signals_sql("doc_id", "text")).df()
+    assert len(ora) == len(sp)
+    for rec in ora.to_dict("records"):
+        mine = sp[rec["id"]]
+        for k, v in rec.items():
+            if k == "id":
+                continue
+            assert mine[k] == pytest.approx(v, abs=0, rel=0), (rec["id"], k)

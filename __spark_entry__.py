@@ -464,6 +464,13 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_signals(d, "doc_id", "text")
 
 
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.quality import c4_clean
+
+    d = _docs(spark, sf_dir)
+    return c4_clean(d, "doc_id", "text")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import embedding_near_dup
 
@@ -1401,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
         "streaming_dedup": _q_streaming_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
@@ -1634,13 +1642,13 @@ SELECT id AS keep_id FROM corpus WHERE id NOT IN (SELECT id FROM dropped)
         "jaccard_pairs": _jaccard_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_near": _simhash_near_oracle(),
-        "ann_topk": """
-WITH p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(a.embedding::double[], b.embedding::double[])
-               / (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[]))
-                  * sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))), 4) AS cosine
-  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+        "ann_topk": f"""
+WITH u AS (
+  SELECT vec_id AS id, {_UNIT_SQL} AS uemb FROM embeddings
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, {_COS_SQL} AS cosine
+  FROM u a, u b WHERE a.id != b.id
 )
 SELECT id_a, rk, id_b, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rk FROM p
@@ -1650,6 +1658,7 @@ SELECT id_a, rk, id_b, cosine FROM (
         "ann_topk_ivf": _ann_ivf_oracle(),
         "winnow_fingerprint": _winnow_oracle(),
         "gopher_quality": _gopher_oracle(),
+        "c4_clean": _c4_oracle(),
         "streaming_dedup": f"""
 WITH {SYNTH_PAGE_ORACLE_CTE}
 SELECT DISTINCT sha256(CAST(html AS VARCHAR)) AS key FROM web_pages
@@ -1740,10 +1749,13 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 
-_COS_SQL = (
-    "round(list_dot_product(a.emb, b.emb)"
-    " / (sqrt(list_dot_product(a.emb, a.emb))"
-    " * sqrt(list_dot_product(b.emb, b.emb))), 4)"
+# vectors are pre-normalized in the base CTE (same as the Spark side's
+# unit_vec), so the pair cosine is a single dot product
+_COS_SQL = "round(list_dot_product(a.uemb, b.uemb), 4)"
+
+_UNIT_SQL = (
+    "list_transform(embedding::double[], x -> x / "
+    "sqrt(list_dot_product(embedding::double[], embedding::double[])))"
 )
 
 
@@ -1751,24 +1763,22 @@ def _ann_ivf_oracle(n_lists: int = 16, nprobe: int = 4, k: int = 5) -> str:
     """DuckDB twin of cosine_topk_ivf: same deterministic centroids
     (lowest-id vectors), same assignment/probe ranking, same tiebreaks."""
     return f"""
-WITH base AS (SELECT vec_id AS id, embedding::double[] AS emb FROM embeddings),
+WITH base AS (SELECT vec_id AS id, {_UNIT_SQL} AS uemb FROM embeddings),
 cents AS (
-  SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, emb AS cemb
-  FROM (SELECT id, emb FROM base ORDER BY id LIMIT {n_lists})
+  SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, uemb AS cemb
+  FROM (SELECT id, uemb FROM base ORDER BY id LIMIT {n_lists})
 ),
 scored AS (
-  SELECT b.id, b.emb, c.list_id,
-         round(list_dot_product(b.emb, c.cemb)
-               / (sqrt(list_dot_product(b.emb, b.emb))
-                  * sqrt(list_dot_product(c.cemb, c.cemb))), 4) AS ccos
+  SELECT b.id, b.uemb, c.list_id,
+         round(list_dot_product(b.uemb, c.cemb), 4) AS ccos
   FROM base b CROSS JOIN cents c
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, list_id) AS crk
   FROM scored
 ),
-dat AS (SELECT list_id, id, emb FROM ranked WHERE crk = 1),
-probe AS (SELECT list_id, id, emb FROM ranked WHERE crk <= {nprobe}),
+dat AS (SELECT list_id, id, uemb FROM ranked WHERE crk = 1),
+probe AS (SELECT list_id, id, uemb FROM ranked WHERE crk <= {nprobe}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, {_COS_SQL} AS cosine
   FROM probe a JOIN dat b USING (list_id) WHERE a.id != b.id
@@ -1786,6 +1796,12 @@ def _gopher_oracle() -> str:
     return gopher_signals_sql("doc_id", "text")
 
 
+def _c4_oracle() -> str:
+    from docling_plus_spark.operators.quality import c4_clean_sql
+
+    return c4_clean_sql("doc_id", "text")
+
+
 def _winnow_oracle() -> str:
     from docling_plus_spark.operators.dedup import winnow_fingerprints_sql
 
@@ -1796,8 +1812,9 @@ def _lsh_keyed_cte() -> str:
     from docling_plus_spark.operators.ann import lsh_table_keys_sql
 
     keys = lsh_table_keys_sql("emb", tables=8, bits=4)
-    return f"""base AS (SELECT vec_id AS id, embedding::double[] AS emb FROM embeddings),
-keyed AS (SELECT id, emb, unnest({keys}) AS bucket FROM base)"""
+    return f"""base AS (SELECT vec_id AS id, embedding::double[] AS emb,
+                    {_UNIT_SQL} AS uemb FROM embeddings),
+keyed AS (SELECT id, uemb, unnest({keys}) AS bucket FROM base)"""
 
 
 def _ann_bucketed_oracle() -> str:

@@ -40,6 +40,20 @@ def with_cosine(pairs: DataFrame, a: str = "emb_a", b: str = "emb_b") -> Column:
     return _dot(ca, cb) / (_norm(ca) * _norm(cb))
 
 
+def unit_vec(v: Column) -> Column:
+    """x / ||x|| with the norm let-bound (one-element transform) so it is
+    computed once per vector, not once per element. Normalizing each
+    vector once at the source turns every pair cosine downstream into a
+    single dot product — the norms were 2/3 of the per-pair HOF work,
+    and pairs outnumber vectors ~500:1 in the bucketed/IVF plans."""
+    return F.element_at(
+        F.transform(
+            F.array(_norm(v)), lambda nv: F.transform(v, lambda x: x / nv)
+        ),
+        1,
+    )
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame,
     k: int = 5,
@@ -49,14 +63,14 @@ def cosine_topk_bruteforce(
     """Exact top-k cosine neighbours per vector (self excluded)."""
     a = emb.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("emb_a"),
+        unit_vec(F.col(vec_col).cast("array<double>")).alias("emb_a"),
     )
     b = emb.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("emb_b"),
+        unit_vec(F.col(vec_col).cast("array<double>")).alias("emb_b"),
     )
     pairs = a.crossJoin(b).filter(F.col("id_a") != F.col("id_b"))
-    sim = F.round(with_cosine(pairs), 4).alias("cosine")
+    sim = F.round(_dot(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine")
     scored = pairs.select("id_a", "id_b", sim)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
@@ -114,20 +128,28 @@ def _lsh_candidates(
     vec_col: str,
     ordered: bool,
 ) -> DataFrame:
+    # bucket keys from the raw vector (sign buckets are scale-invariant);
+    # the carried payload is pre-normalized so pair scoring is one dot
     keyed = emb.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
+        unit_vec(F.col(vec_col).cast("array<double>")).alias("emb"),
         F.explode(lsh_table_keys(F.col(vec_col), tables, bits)).alias("bucket"),
     )
     a = keyed.select("bucket", F.col("id").alias("id_a"), F.col("emb").alias("emb_a"))
     b = keyed.select("bucket", F.col("id").alias("id_b"), F.col("emb").alias("emb_b"))
     cond = F.col("id_a") < F.col("id_b") if ordered else F.col("id_a") != F.col("id_b")
-    return (
-        a.join(b, "bucket")
-        .filter(cond)
-        .select("id_a", "id_b", "emb_a", "emb_b")
-        .distinct()
-    )
+    joined = a.join(b, "bucket").filter(cond)
+    # A pair collides in up to `tables` buckets. Score it *before* the
+    # dedup so distinct shuffles 24-byte (id_a, id_b, cosine) rows, not
+    # the two full embedding arrays — the cosine is deterministic, so
+    # duplicate rows stay byte-identical and collapse. (Re-scoring a
+    # duplicated pair is map-side CPU; shipping its vectors through the
+    # distinct exchange was ~40x the bytes.)
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(_dot(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
+    ).distinct()
 
 
 def cosine_topk_bucketed(
@@ -143,10 +165,7 @@ def cosine_topk_bucketed(
     Scale path: the join shuffles on the bucket key; per-bucket pair
     formation is O(Σ bucket²) — tunable via (tables, bits) against recall.
     """
-    pairs = _lsh_candidates(emb, tables, bits, id_col, vec_col, ordered=False)
-    scored = pairs.select(
-        "id_a", "id_b", F.round(with_cosine(pairs), 4).alias("cosine")
-    )
+    scored = _lsh_candidates(emb, tables, bits, id_col, vec_col, ordered=False)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -164,10 +183,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (multi-table LSH candidates)."""
-    pairs = _lsh_candidates(emb, tables, bits, id_col, vec_col, ordered=True)
-    scored = pairs.select(
-        "id_a", "id_b", F.round(with_cosine(pairs), 4).alias("cosine")
-    )
+    scored = _lsh_candidates(emb, tables, bits, id_col, vec_col, ordered=True)
     return scored.filter(F.col("cosine") >= threshold)
 
 
@@ -200,7 +216,7 @@ def cosine_topk_ivf(
     """
     base = emb.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
+        unit_vec(F.col(vec_col).cast("array<double>")).alias("emb"),
     )
     w_cent = Window.orderBy("id")
     cents = (
@@ -215,11 +231,7 @@ def cosine_topk_ivf(
         "id",
         "emb",
         "list_id",
-        F.round(
-            _dot(F.col("emb"), F.col("cemb"))
-            / (_norm(F.col("emb")) * _norm(F.col("cemb"))),
-            4,
-        ).alias("ccos"),
+        F.round(_dot(F.col("emb"), F.col("cemb")), 4).alias("ccos"),
     )
     w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("list_id"))
     ranked = scored.withColumn("crk", F.row_number().over(w_assign))
@@ -235,10 +247,14 @@ def cosine_topk_ivf(
             F.col("a.emb").alias("emb_a"),
             F.col("b.emb").alias("emb_b"),
         )
-        .distinct()
+        # no distinct needed: each candidate lives in exactly one list
+        # (crk == 1) and a query probes each list at most once, so a
+        # (query, candidate) pair can only be formed once.
     )
     scored_pairs = pairs.select(
-        "id_a", "id_b", F.round(with_cosine(pairs), 4).alias("cosine")
+        "id_a",
+        "id_b",
+        F.round(_dot(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (

@@ -235,3 +235,122 @@ SELECT id,
        < {MAX_DUP_CHAR_FRAC}) AS gopher_pass
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/page cleaning (Raffel et al. 2020, §2.2 "a number of
+# heuristics"). Deterministic restatement: sentence counting is the
+# count of terminal-punctuation characters in the retained text (the
+# original used an English sentence splitter; a char count is the
+# standard splitter-free proxy and is replayed exactly by the oracle).
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_BAD_PAGE = ["lorem ipsum", "{"]
+C4_BAD_LINE = ["javascript"]
+_TERMINAL = ['.', '!', '?', '"']
+
+
+def c4_clean(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 cleaning: keep lines that end in terminal punctuation, have
+    >= 5 words, and don't mention javascript; keep the page iff the
+    retained text has >= 3 sentences and the raw page has no
+    'lorem ipsum' and no curly brace.
+
+    Output: (id, clean_text, lines_kept, lines_total, c4_keep). One
+    projection of let-bound HOF column expressions — no Python, no
+    shuffle; DuckDB twin :func:`c4_clean_sql` matches bit-for-bit.
+    """
+    t = F.col(text_col)
+    lines_expr = F.filter(
+        F.transform(F.split(t, r"\n"), F.trim), lambda l: F.length(l) > 0
+    )
+
+    def _line_ok(l: Column) -> Column:
+        words = F.size(
+            F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0)
+        )
+        ends = F.lit(False)
+        for p in _TERMINAL:
+            ends = ends | l.endswith(p)
+        bad = F.lit(False)
+        for b in C4_BAD_LINE:
+            bad = bad | F.lower(l).contains(b)
+        return (words >= C4_MIN_LINE_WORDS) & ends & ~bad
+
+    def _out(ls: Column) -> Column:
+        kept = F.filter(ls, _line_ok)
+        clean = F.array_join(kept, "\n")
+        sentences = F.lit(0)
+        for p in _TERMINAL:
+            sentences = sentences + (
+                F.length(clean) - F.length(F.replace(clean, F.lit(p)))
+            )
+        page_bad = F.lit(False)
+        for b in C4_BAD_PAGE:
+            page_bad = page_bad | F.lower(t).contains(b)
+        keep = (sentences >= C4_MIN_SENTENCES) & ~page_bad & (
+            F.size(kept) > 0
+        )
+        return F.struct(
+            clean.alias("clean_text"),
+            F.size(kept).cast("long").alias("lines_kept"),
+            F.size(ls).cast("long").alias("lines_total"),
+            keep.alias("c4_keep"),
+        )
+
+    out = F.element_at(F.transform(F.array(lines_expr), _out), 1)
+    return df.select(F.col(id_col).alias("id"), out.alias("s")).select(
+        "id", "s.*"
+    )
+
+
+def c4_clean_sql(
+    id_expr: str = "doc_id", text_expr: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`c4_clean` (full SELECT, same names)."""
+    line_ok = (
+        f"len(list_filter(regexp_split_to_array(l, '\\s+'), "
+        f"w -> length(w) > 0)) >= {C4_MIN_LINE_WORDS} "
+        "AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"') "
+        "AND lower(l) NOT LIKE '%javascript%'"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id, {text_expr} AS t,
+    list_filter(list_transform(string_split({text_expr}, chr(10)),
+                l -> trim(l)), l -> length(l) > 0) AS ls
+  FROM {table}
+),
+k AS (
+  SELECT id, t, ls, list_filter(ls, l -> {line_ok}) AS kept
+  FROM base
+),
+j AS (
+  SELECT id, t, ls, kept, list_aggregate(kept, 'string_agg', chr(10)) AS joined
+  FROM k
+),
+m AS (
+  SELECT id, t, ls, kept, coalesce(joined, '') AS clean,
+    length(coalesce(joined, ''))
+      - length(replace(coalesce(joined, ''), '.', ''))
+    + length(coalesce(joined, ''))
+      - length(replace(coalesce(joined, ''), '!', ''))
+    + length(coalesce(joined, ''))
+      - length(replace(coalesce(joined, ''), '?', ''))
+    + length(coalesce(joined, ''))
+      - length(replace(coalesce(joined, ''), '"', '')) AS sentences
+  FROM j
+)
+SELECT id,
+  clean AS clean_text,
+  len(kept)::bigint AS lines_kept,
+  len(ls)::bigint AS lines_total,
+  (sentences >= {C4_MIN_SENTENCES}
+   AND lower(t) NOT LIKE '%lorem ipsum%'
+   AND lower(t) NOT LIKE '%{{%'
+   AND len(kept) > 0) AS c4_keep
+FROM m
+"""

@@ -329,3 +329,56 @@ def test_gopher_signals_matches_duckdb_oracle(spark):
             if k == "id":
                 continue
             assert mine[k] == pytest.approx(v, abs=0, rel=0), (rec["id"], k)
+
+
+def test_c4_clean_rules(spark):
+    """C4 line retention + page verdict on hand-built documents."""
+    from docling_plus_spark.operators.quality import c4_clean
+
+    good = (
+        "This is a perfectly reasonable first sentence of prose.\n"
+        "Here is another sentence with more than five words.\n"
+        "And a third complete sentence finishes the page.\n"
+        "short line\n"
+        "No terminal punctuation on this line here\n"
+    )
+    js = (
+        "Please enable javascript to view this page.\n"
+        "This sentence talks about nothing in particular today.\n"
+        "Another full sentence appears right here as well.\n"
+        "A third full sentence appears right here too.\n"
+    )
+    brace = good + "function f() { return 1; }\n"
+    df = spark.createDataFrame(
+        [(1, good), (2, js), (3, brace), (4, "tiny page.")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.asDict() for r in c4_clean(df).collect()}
+    assert out[1]["c4_keep"] is True and out[1]["lines_kept"] == 3
+    assert "short line" not in out[1]["clean_text"]
+    # javascript line dropped but the page still has 3 sentences
+    assert out[2]["lines_kept"] == 3 and out[2]["c4_keep"] is True
+    assert "javascript" not in out[2]["clean_text"]
+    assert out[3]["c4_keep"] is False      # curly brace kills the page
+    assert out[4]["c4_keep"] is False      # < 3 sentences
+
+
+def test_c4_clean_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from docling_plus_spark.operators.quality import c4_clean, c4_clean_sql
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sp = {r.id: r.asDict() for r in c4_clean(d, "doc_id", "text").collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.sql(c4_clean_sql("doc_id", "text")).df()
+    assert len(ora) == len(sp)
+    for rec in ora.to_dict("records"):
+        mine = sp[rec["id"]]
+        for k, v in rec.items():
+            if k != "id":
+                assert mine[k] == v, (rec["id"], k)

@@ -262,6 +262,15 @@ def _remove_by_identity(seq: list, node) -> None:
         del seq[idx]
 
 
+#: Hard bound on DOM depth. Real documents stay well under 100; hostile
+#: inputs (e.g. "<p>"*100k, which never gets implied end tags under these
+#: tree-builder semantics) would otherwise build an unboundedly deep tree
+#: and blow the recursion limit in every downstream walk. At the cap a new
+#: start tag closes the innermost element first (sibling instead of child),
+#: so text content is preserved while depth stays bounded.
+MAX_DOM_DEPTH = 200
+
+
 class _TreeBuilder(HTMLParser):
     """html.parser events → Tag tree (tree-builder semantics as in bs4's
     HTMLParserTreeBuilder: no implied end tags, pop-to-matching on close)."""
@@ -276,6 +285,8 @@ class _TreeBuilder(HTMLParser):
         attr_dict: dict = {}
         for key, value in attrs:
             attr_dict[key] = "" if value is None else value
+        if len(self.stack) > MAX_DOM_DEPTH:
+            self.stack.pop()
         tag = Tag(name, attr_dict)
         self.stack[-1].append(tag)
         if name not in VOID_ELEMENTS:

@@ -109,3 +109,31 @@ def test_paragraph_breaker_repair():
     )
     texts = [t.text for t in doc.texts]
     assert texts == ["before", "inner", "after"]
+
+
+def test_hostile_deep_nesting_bounded():
+    """DOM depth is capped (dom.MAX_DOM_DEPTH): pathological inputs like
+    '<p>'*100k (no implied end tags under these tree-builder semantics)
+    must convert without a RecursionError, with text preserved —
+    errors become row status downstream, never job failures."""
+    from docling_plus_spark.dom import MAX_DOM_DEPTH
+    from docling_plus_spark.html import convert_html
+
+    root = parse_html(b"<p>" * 100_000 + b"text")
+    depth, node = 0, root.find("p")
+    while node is not None:
+        depth += 1
+        node = node.find("p", recursive=False)
+    assert depth <= MAX_DOM_DEPTH + 1
+
+    for probe in (
+        b"<p>" * 100_000 + b"inner text",
+        b"<div><b>" * 3000 + b"x",
+        b"<p>deep" + b"<p>" * 5000 + b"inner",
+    ):
+        doc = convert_html(probe, name="p", filename="p.html")
+        md = doc.export_to_markdown()
+        assert isinstance(md, str)
+    assert "inner text" in convert_html(
+        b"<p>" * 100_000 + b"inner text", name="p", filename="p.html"
+    ).export_to_markdown()

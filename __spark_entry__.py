@@ -471,6 +471,81 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(d, "doc_id", "text")
 
 
+# --- web-corpus cleaning family (operators/webclean.py). The documents
+# table's text is single-line word-soup with no PII/URLs, so the PII/URL/
+# paragraph queries synthesize their input columns deterministically from
+# doc_id/lang — the oracle builds the identical column in SQL.
+
+_PII_SYNTH_SPARK = (
+    "concat('Contact user', doc_id, '@example.com or +1 555-000-', "
+    "lpad(cast(doc_id as string), 4, '0'), ' at 192.168.', "
+    "doc_id % 256, '.1 :: ', text)"
+)
+_PII_SYNTH_SQL = (
+    "'Contact user' || doc_id || '@example.com or +1 555-000-' || "
+    "lpad(doc_id::VARCHAR, 4, '0') || ' at 192.168.' || (doc_id % 256) "
+    "|| '.1 :: ' || text"
+)
+_URL_SYNTH_SPARK = (
+    "concat('HTTPS://Example.COM:443/p/', doc_id % 97, "
+    "'?utm_campaign=', doc_id, '&x=1#f')"
+)
+_URL_SYNTH_SQL = (
+    "('HTTPS://Example.COM:443/p/' || (doc_id % 97) || "
+    "'?utm_campaign=' || doc_id || '&x=1#f')"
+)
+_PARA_SYNTH_SPARK = (
+    "concat(text, '\\nsubscribe to our newsletter', "
+    "'\\nall rights reserved ', lang)"
+)
+_PARA_SYNTH_SQL = (
+    "(text || chr(10) || 'subscribe to our newsletter' || chr(10) || "
+    "'all rights reserved ' || lang)"
+)
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.webclean import pii_redact
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_SYNTH_SPARK).alias("text")
+    )
+    return pii_redact(d, "doc_id", "text")
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.webclean import url_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+    )
+    return url_dedup(d, "doc_id", "url")
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.webclean import paragraph_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PARA_SYNTH_SPARK).alias("text")
+    )
+    return paragraph_dedup(d, "doc_id", "text", max_docs=10)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.webclean import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_RATES, default_rate=0.05
+    )
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.webclean import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import embedding_near_dup
 
@@ -1409,6 +1484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
+        "pii_redact": _q_pii_redact,
+        "url_dedup": _q_url_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "bpe_token_stats": _q_bpe_token_stats,
         "streaming_dedup": _q_streaming_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
@@ -1659,6 +1739,11 @@ SELECT id_a, rk, id_b, cosine FROM (
         "winnow_fingerprint": _winnow_oracle(),
         "gopher_quality": _gopher_oracle(),
         "c4_clean": _c4_oracle(),
+        "pii_redact": _pii_oracle(),
+        "url_dedup": _url_dedup_oracle(),
+        "paragraph_dedup": _paragraph_oracle(),
+        "stratified_sample": _sample_oracle(),
+        "bpe_token_stats": _bpe_oracle(),
         "streaming_dedup": f"""
 WITH {SYNTH_PAGE_ORACLE_CTE}
 SELECT DISTINCT sha256(CAST(html AS VARCHAR)) AS key FROM web_pages
@@ -1800,6 +1885,36 @@ def _c4_oracle() -> str:
     from docling_plus_spark.operators.quality import c4_clean_sql
 
     return c4_clean_sql("doc_id", "text")
+
+
+def _pii_oracle() -> str:
+    from docling_plus_spark.operators.webclean import pii_redact_sql
+
+    return pii_redact_sql("doc_id", _PII_SYNTH_SQL)
+
+
+def _url_dedup_oracle() -> str:
+    from docling_plus_spark.operators.webclean import url_dedup_sql
+
+    return url_dedup_sql("doc_id", _URL_SYNTH_SQL, "documents")
+
+
+def _paragraph_oracle() -> str:
+    from docling_plus_spark.operators.webclean import paragraph_dedup_sql
+
+    return paragraph_dedup_sql("doc_id", _PARA_SYNTH_SQL, max_docs=10)
+
+
+def _sample_oracle() -> str:
+    from docling_plus_spark.operators.webclean import stratified_sample_sql
+
+    return stratified_sample_sql(_SAMPLE_RATES, default_rate=0.05)
+
+
+def _bpe_oracle() -> str:
+    from docling_plus_spark.operators.webclean import bpe_token_stats_sql
+
+    return bpe_token_stats_sql("doc_id", "text")
 
 
 def _winnow_oracle() -> str:

@@ -1,0 +1,402 @@
+"""Web-corpus cleaning operators: PII redaction, URL canonicalization
+and dedup, global paragraph dedup, stratified sampling, BPE-style token
+accounting.
+
+Not present in the reference (docling converts; it does not curate) —
+this is the standard post-extraction scrub a 10^12-document web corpus
+goes through before training (the C4 / RefinedWeb / BigCode pipelines).
+Everything is pure JVM column expressions or plain groupBy/join plans —
+no Python UDFs anywhere — and every operator has a DuckDB twin that
+replays values exactly.
+
+Regex portability rule: Spark compiles Java regex, DuckDB compiles RE2.
+Every pattern in this module avoids the constructs where the two
+diverge — no backreferences, no lookaround, and alternations whose
+branches cannot shadow a longer match of a later branch (Java is
+leftmost-first, RE2 leftmost-longest; the patterns here are constructed
+so both pick the same match — verified by the oracle gate over the
+whole corpus).
+
+Scale notes (100 TB):
+* pii_redact / url_canonicalize / bpe_token_stats are narrow
+  projections — zero shuffle, whole-stage codegen.
+* url_dedup is one hash shuffle on the canonical url (row_number per
+  key), the same shape as exact_dedup.
+* paragraph_dedup is the only multi-shuffle plan: explode lines →
+  two-stage distinct-doc count per line hash (map-side partial agg; the
+  shuffle carries (hash, id) pairs, never the text) → join back (hash
+  is high-cardinality, skew-free) → re-assemble per doc. The line text
+  itself rides only the final per-doc groupBy, bounded by document
+  size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docling_plus_spark.functions.expressions import md5_long
+
+# ---------------------------------------------------------------------------
+# PII redaction (BigCode/StarCoder-style regex scrub)
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# international-format phone: leading +, 9..15 digits with -/space
+# separators; the leading + keeps false-positive rate near zero and the
+# pattern identical under leftmost-first vs leftmost-longest matching
+PHONE_RE = r"\+\d[\d\- ]{7,14}\d"
+
+_PII_STAGES = [
+    ("n_emails", EMAIL_RE, "<EMAIL>"),
+    ("n_ips", IPV4_RE, "<IP>"),
+    ("n_phones", PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sequential e-mail → IPv4 → phone redaction.
+
+    Output: (id, redacted, n_emails, n_ips, n_phones). Counts are taken
+    on each stage's *input* (so an e-mail containing an IP-shaped host
+    is counted once, as an e-mail). Narrow projection, no shuffle.
+    """
+    cur: Column = F.col(text_col)
+    counts: list[Column] = []
+    for name, pat, rep in _PII_STAGES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(name))
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(
+        F.col(id_col).alias("id"), cur.alias("redacted"), *counts
+    )
+
+
+def pii_redact_sql(
+    id_expr: str = "doc_id", text_expr: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`pii_redact` (full SELECT, same names)."""
+
+    def esc(p: str) -> str:
+        # DuckDB single-quoted strings are raw: never double backslashes
+        return p.replace("'", "''")
+
+    cur = text_expr
+    count_cols = []
+    for name, pat, rep in _PII_STAGES:
+        count_cols.append(
+            f"len(regexp_extract_all({cur}, '{esc(pat)}'))::bigint AS {name}"
+        )
+        cur = f"regexp_replace({cur}, '{esc(pat)}', '{rep}', 'g')"
+    return (
+        f"SELECT {id_expr} AS id, {cur} AS redacted, "
+        + ", ".join(count_cols)
+        + f" FROM {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+
+#: query parameters that never change page identity (tracking)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+_SCHEME_HOST_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a web URL, as column expressions only:
+
+    1. strip the fragment (``#...``);
+    2. lowercase the scheme://host[:port] part (path/query untouched);
+    3. drop default ports (``:80`` for http, ``:443`` for https);
+    4. drop tracking query parameters (utm_*, fbclid, gclid, msclkid,
+       ref), removing the ``?`` when none survive.
+    """
+    u = F.regexp_replace(url, "#.*", "")
+    head = F.regexp_extract(u, _SCHEME_HOST_RE, 1)
+    rest = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    lh = F.lower(head)
+    lh = F.when(
+        lh.startswith("http://"), F.regexp_replace(lh, ":80$", "")
+    ).when(
+        lh.startswith("https://"), F.regexp_replace(lh, ":443$", "")
+    ).otherwise(lh)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.substring(rest, F.length(path) + 2, F.lit(1 << 30))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & (F.regexp_count(p, F.lit(TRACKING_PARAM_RE)) == 0),
+    )
+    tail = F.when(
+        (F.length(query) > 0) & (F.size(kept) > 0),
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(lh, path, tail)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (expression, not a SELECT)."""
+    track = TRACKING_PARAM_RE.replace("'", "''")
+    u = f"regexp_replace({url_expr}, '#.*', '')"
+    head = f"regexp_extract({u}, '{_SCHEME_HOST_RE}', 1)"
+    rest = f"substr({u}, length({head}) + 1)"
+    lh = f"lower({head})"
+    lh = (
+        f"CASE WHEN starts_with({lh}, 'http://') THEN regexp_replace({lh}, ':80$', '') "
+        f"WHEN starts_with({lh}, 'https://') THEN regexp_replace({lh}, ':443$', '') "
+        f"ELSE {lh} END"
+    )
+    path = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    query = f"substr({rest}, length({path}) + 2)"
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> length(p) > 0 AND NOT regexp_matches(p, '{track}'))"
+    )
+    tail = (
+        f"CASE WHEN length({query}) > 0 AND len({kept}) > 0 "
+        f"THEN '?' || list_aggregate({kept}, 'string_agg', '&') ELSE '' END"
+    )
+    return f"({lh} || {path} || {tail})"
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """One row per canonical URL: the lowest-id exemplar + dupe count.
+
+    One hash shuffle on the canonical url (same shape as exact dedup —
+    high-cardinality key, map-side partial count).
+    """
+    from pyspark.sql.window import Window
+
+    canon = df.select(
+        F.col(id_col).alias("id"), canonical_url(F.col(url_col)).alias("canon_url")
+    )
+    w = Window.partitionBy("canon_url").orderBy("id")
+    return (
+        canon.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_dupes", F.count("*").over(Window.partitionBy("canon_url")))
+        .filter(F.col("rk") == 1)
+        .select("canon_url", F.col("id").alias("keep_id"), F.col("n_dupes").cast("long"))
+    )
+
+
+def url_dedup_sql(id_expr: str, url_expr: str, table: str) -> str:
+    canon = canonical_url_sql(url_expr)
+    return f"""
+WITH c AS (
+  SELECT {id_expr} AS id, {canon} AS canon_url FROM {table}
+),
+r AS (
+  SELECT canon_url, id,
+         row_number() OVER (PARTITION BY canon_url ORDER BY id) AS rk,
+         count(*) OVER (PARTITION BY canon_url) AS n_dupes
+  FROM c
+)
+SELECT canon_url, id AS keep_id, n_dupes::bigint AS n_dupes
+FROM r WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global paragraph dedup (RefinedWeb §3.3 "line-wise corrections" /
+# ccnet-style: drop lines that repeat across too many documents)
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 10,
+) -> DataFrame:
+    """Remove lines that occur (trimmed) in more than ``max_docs``
+    distinct documents; reassemble the survivors in document order.
+
+    Output: (id, clean_text, lines_kept, lines_dropped). Plan: explode →
+    distinct-doc count per line *hash* (the shuffle carries 16-byte
+    hashes, not text) → join back on the high-cardinality hash →
+    per-document reassembly (the only stage that shuffles text, bounded
+    by document size). Boilerplate mega-lines ("all rights reserved")
+    hit the count cap at the partial-agg stage, not as join skew: the
+    count table has exactly one row per distinct line.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.length(F.trim(F.col("line"))) > 0)
+    hashed = lines.withColumn("h", md5_long(F.trim(F.col("line"))))
+    freq = hashed.groupBy("h").agg(
+        F.count_distinct("id").alias("_docs")
+    )
+    tagged = hashed.join(freq, "h").withColumn(
+        "_keep", F.col("_docs") <= max_docs
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("lines_kept"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("lines_dropped"),
+        )
+    )
+
+
+def paragraph_dedup_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+    max_docs: int = 10,
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup` (full SELECT)."""
+    return f"""
+WITH lines AS (
+  SELECT {id_expr} AS id, u.pos, u.line
+  FROM {table},
+       LATERAL (SELECT unnest(string_split({text_expr}, chr(10))) AS line,
+                       generate_subscripts(string_split({text_expr}, chr(10)), 1) AS pos) u
+  WHERE length(trim(u.line)) > 0
+),
+hashed AS (
+  SELECT id, pos, line,
+         ('0x'||substr(md5(trim(line)),1,15))::bigint AS h
+  FROM lines
+),
+freq AS (
+  SELECT h, count(DISTINCT id) AS docs FROM hashed GROUP BY h
+),
+tagged AS (
+  SELECT hashed.*, freq.docs <= {max_docs} AS keep
+  FROM hashed JOIN freq USING (h)
+)
+SELECT id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+    AS clean_text,
+  sum(CASE WHEN keep THEN 1 ELSE 0 END)::bigint AS lines_kept,
+  sum(CASE WHEN keep THEN 0 ELSE 1 END)::bigint AS lines_dropped
+FROM tagged GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+
+SAMPLE_MOD = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``md5(id) mod 1e6 < rate(stratum) * 1e6``.
+
+    The standard domain/language-mixing primitive: reproducible across
+    runs and engines (hash-derived, no RNG state), embarrassingly
+    parallel (zero shuffle), and exact in expectation per stratum.
+    Output: the kept (id, stratum, bucket) rows.
+    """
+    bucket = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(SAMPLE_MOD))
+    rate: Column = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(strata_col).alias("stratum"),
+            bucket.cast("long").alias("bucket"),
+            rate.alias("_rate"),
+        )
+        .filter(F.col("bucket") < F.col("_rate") * SAMPLE_MOD)
+        .drop("_rate")
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_expr: str = "doc_id",
+    strata_expr: str = "lang",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (full SELECT)."""
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{v}' THEN {r}" for v, r in sorted(rates.items())
+    )
+    rate = f"(CASE {whens} ELSE {default_rate} END)"
+    bucket = f"(('0x'||substr(md5({id_expr}::VARCHAR),1,15))::bigint % {SAMPLE_MOD})"
+    return f"""
+SELECT {id_expr} AS id, {strata_expr} AS stratum, {bucket}::bigint AS bucket
+FROM {table}
+WHERE {bucket} < {rate} * {SAMPLE_MOD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE-style token accounting
+
+#: GPT-2 pre-tokenizer split, minus the ``\s+(?!\S)`` lookahead (RE2 has
+#: no lookaround; the trailing-space refinement only moves one token
+#: boundary and both engines agree on this lookahead-free form).
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bpe_tokens, ws_tokens, chars_per_token) — corpus token
+    accounting with a GPT-2-style pre-tokenizer regex. Narrow, no
+    shuffle, one regexp pass."""
+    t = F.col(text_col)
+    bpe = F.regexp_count(t, F.lit(BPE_SPLIT_RE)).cast("long")
+    ws = F.size(
+        F.filter(F.split(F.trim(t), r"\s+"), lambda w: F.length(w) > 0)
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        bpe.alias("bpe_tokens"),
+        ws.alias("ws_tokens"),
+        F.round(
+            F.length(t).cast("double") / F.greatest(bpe, F.lit(1)).cast("double"), 4
+        ).alias("chars_per_token"),
+    )
+
+
+def bpe_token_stats_sql(
+    id_expr: str = "doc_id", text_expr: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`bpe_token_stats` (full SELECT)."""
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    bpe = f"len(regexp_extract_all({text_expr}, '{pat}'))"
+    ws = (
+        f"len(list_filter(regexp_split_to_array(trim({text_expr}), '\\s+'), "
+        f"w -> length(w) > 0))"
+    )
+    return f"""
+SELECT {id_expr} AS id,
+  {bpe}::bigint AS bpe_tokens,
+  {ws}::bigint AS ws_tokens,
+  round(length({text_expr})::double / greatest({bpe}, 1), 4) AS chars_per_token
+FROM {table}
+"""

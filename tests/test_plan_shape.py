@@ -1,0 +1,137 @@
+"""Physical-plan-shape assertions: the scale properties the 100 TB design
+depends on, locked in as tests over ``explain`` output.
+
+These don't execute the queries — they compile them and assert the plan
+Catalyst produced has the shape BENCH.md §3 documents: pruned scans, no
+cartesian products outside the one labeled brute-force baseline,
+map-side partial aggregation on the wide paths, and broadcasts where a
+side is known-small.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_plus_spark.plans import build_session
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_extract_scan_prunes_to_url_html(spark, tmp_path):
+    """The extract stage's parquet scan must read only the columns the
+    UDF consumes (url, html) — a scan shipping the `text`/`lang` bytes
+    it never uses would multiply 100 TB of IO."""
+    from docling_plus_spark.plans import extract_pipeline
+
+    src = str(tmp_path / "web_pages")
+    spark.createDataFrame(
+        [("https://a/x", bytearray(b"<p>hi</p>"), "hi", "en")],
+        "url string, html binary, text string, lang string",
+    ).write.parquet(src)
+    plan = _plan(extract_pipeline(spark.read.parquet(src)))
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b and "ReadSchema" in b]
+    assert scans, plan[:800]
+    for block in scans:
+        rs = next(ln for ln in block.splitlines() if "ReadSchema" in ln)
+        assert "url" in rs and "html" in rs, rs
+        assert "text" not in rs and "lang" not in rs, rs
+
+
+def test_prepare_pushes_size_gate_into_scan_filter(spark):
+    from docling_plus_spark.plans.pipeline import prepare_pages
+
+    df = spark.createDataFrame(
+        [("u", bytearray(b"<p>x</p>"))], "url string, html binary"
+    )
+    plan = _plan(prepare_pages(df).filter(F.col("valid")))
+    # the validity gate stays a codegen filter (no shuffle/exchange)
+    assert "Exchange" not in plan
+
+
+def test_minhash_candidates_no_cartesian(spark):
+    from docling_plus_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_prepare,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_candidate_pairs(minhash_prepare(d)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bucketed_and_ivf_no_cartesian(spark):
+    from docling_plus_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_bucketed,
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(cosine_topk_bucketed(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # IVF: the centroid-assignment cross IS a broadcast NLJ against the
+    # n_lists-row centroid table — O(N x n_lists), linear in N, the right
+    # scale shape. A shuffle cartesian must still never appear.
+    ivf = _plan(cosine_topk_ivf(emb))
+    assert "CartesianProduct" not in ivf
+    # the exact baseline is the one place an N x N cross join is allowed
+    bf = _plan(cosine_topk_bruteforce(emb))
+    assert "CartesianProduct" in bf or "BroadcastNestedLoopJoin" in bf
+
+
+def test_simhash_partial_aggregation(spark):
+    """The bit-vote groupBy must partially aggregate map-side: the
+    shuffle then carries 32 counters per doc, not one row per token."""
+    from docling_plus_spark.operators.dedup import simhash
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash(d))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_paragraph_dedup_shuffles_hashes_not_text(spark):
+    """The distinct-doc count aggregates on the 8-byte line hash; the
+    line text must not ride through that exchange."""
+    from docling_plus_spark.operators.webclean import paragraph_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(paragraph_dedup(d))
+    blocks = plan.split("\n\n")
+    # find the exchange feeding the count-distinct aggregate on h
+    assert "CartesianProduct" not in plan
+    agg_blocks = [
+        b for b in blocks if "HashAggregate" in b and "count(distinct" in b.lower()
+    ]
+    assert agg_blocks, plan[:800]
+    for b in agg_blocks:
+        assert "line#" not in b, b
+
+
+def test_small_dim_join_broadcasts(spark):
+    """A join against a tiny dimension table must broadcast, not
+    shuffle both sides."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    dim = spark.createDataFrame(
+        [("en", "english"), ("de", "german")], "lang string, lang_name string"
+    )
+    plan = _plan(d.join(F.broadcast(dim), "lang"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -143,6 +143,11 @@ def main() -> None:
         replicate, sf_dir = 100, "/root/testdata/sf0.01"
     if "--replicate" in sys.argv:
         replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
+    lo, hi = 8, 32
+    if "--levels" in sys.argv:
+        lo, hi = (int(x) for x in
+                  sys.argv[sys.argv.index("--levels") + 1].split(","))
+    ratio = hi / lo
 
     # materialize the shared input corpora once
     sys.path.insert(0, REPO)
@@ -163,17 +168,17 @@ def main() -> None:
         with_control = "--control" in sys.argv
         effs, ctl_effs, rows = [], [], []
         for i in range(rounds):
-            r8 = run_at(8, fx_path, sy_path, passes=(1, 1))
-            c8 = run_control(8, fx_path) if with_control else None
-            r32 = run_at(32, fx_path, sy_path, passes=(1, 1))
-            c32 = run_control(32, fx_path) if with_control else None
-            eff = (r8["total_sec"] / r32["total_sec"]) / 4.0
+            r8 = run_at(lo, fx_path, sy_path, passes=(1, 1))
+            c8 = run_control(lo, fx_path) if with_control else None
+            r32 = run_at(hi, fx_path, sy_path, passes=(1, 1))
+            c32 = run_control(hi, fx_path) if with_control else None
+            eff = (r8["total_sec"] / r32["total_sec"]) / ratio
             effs.append(eff)
             line = {"round": i, "eff": round(eff, 3),
                     "docs_per_sec_8": r8["docs_per_sec"],
                     "docs_per_sec_32": r32["docs_per_sec"]}
             if with_control:
-                ctl_eff = (c8["sec"] / c32["sec"]) / 4.0
+                ctl_eff = (c8["sec"] / c32["sec"]) / ratio
                 ctl_effs.append(ctl_eff)
                 line.update({"ctl_eff": round(ctl_eff, 3),
                              "ctl_docs_per_sec_8": c8["docs_per_sec"],
@@ -184,6 +189,7 @@ def main() -> None:
         effs_sorted = sorted(effs)
         median = effs_sorted[len(effs) // 2]
         summary = {"interleaved_rounds": rounds,
+                   "levels": [lo, hi],
                    "efficiencies": [round(e, 3) for e in effs],
                    "median_efficiency": round(median, 3)}
         if with_control:
@@ -197,15 +203,15 @@ def main() -> None:
         print(json.dumps(summary), flush=True)
         # persist the evidence table
         ts = time.strftime("%Y-%m-%d %H:%M:%S")
-        lines = [f"\n## Scaling evidence — interleaved paired rounds ({ts})\n",
-                 "\nSame job, same input, alternating local[8]/local[32] fresh JVMs"
+        lines = [f"\n## Scaling evidence — interleaved paired rounds, local[{lo}] vs local[{hi}] ({ts})\n",
+                 f"\nSame job, same input, alternating local[{lo}]/local[{hi}] fresh JVMs"
                  " (paired rounds cancel hour-scale host drift); paired no-Spark"
                  " multiprocessing control = the box's own core-scaling ceiling.\n",
                  "\n| round | engine eff | control eff | engine/control |"
                  " engine docs/s @8→@32 | control docs/s @8→@32 |",
                  "\n|---|---|---|---|---|---|"]
         for i, (r8, r32, eff, c8, c32) in enumerate(rows):
-            ce = (c8["sec"] / c32["sec"]) / 4.0 if c8 else float("nan")
+            ce = (c8["sec"] / c32["sec"]) / ratio if c8 else float("nan")
             lines.append(
                 f"\n| {i} | {eff:.3f} | {ce:.3f} | {eff / ce:.3f} |"
                 f" {r8['docs_per_sec']} → {r32['docs_per_sec']} |"
@@ -219,17 +225,17 @@ def main() -> None:
         return
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         results[cpus] = run_at(cpus, fx_path, sy_path)
         print(json.dumps(results[cpus]))
 
-    t8, t32 = results[8]["total_sec"], results[32]["total_sec"]
-    eff = (t8 / t32) / 4.0
+    t8, t32 = results[lo]["total_sec"], results[hi]["total_sec"]
+    eff = (t8 / t32) / ratio
     summary = {
-        "n_cores": 8,
-        "n4_cores": 32,
-        "docs_per_sec_n": results[8]["docs_per_sec"],
-        "docs_per_sec_4n": results[32]["docs_per_sec"],
+        "n_cores": lo,
+        "n4_cores": hi,
+        "docs_per_sec_n": results[lo]["docs_per_sec"],
+        "docs_per_sec_4n": results[hi]["docs_per_sec"],
         "speedup": round(t8 / t32, 3),
         "scaling_efficiency": round(eff, 3),
         "replicate": replicate,
@@ -239,20 +245,20 @@ def main() -> None:
     print(json.dumps(summary))
 
     section = f"""
-## Scaling evidence (local[8] vs local[32], {summary['measured_at']})
+## Scaling evidence (local[{lo}] vs local[{hi}], {summary['measured_at']})
 
 Same extraction job (prepare → gate → mapInPandas convert → serialize,
-shuffle-free), same input ({results[8]['total_docs']} docs over 128
+shuffle-free), same input ({results[lo]['total_docs']} docs over 128
 input-determined parquet splits: reference-HTML fixture corpus
 ×{replicate} + synth corpus from {sf_dir}), one fresh JVM per
 parallelism level:
 
 | cores | fixture sec | synth sec | total sec | docs/sec |
 |---|---|---|---|---|
-| 8 (N)   | {results[8]['fixture_sec']} | {results[8]['synth_sec']} | {t8} | {results[8]['docs_per_sec']} |
-| 32 (4N) | {results[32]['fixture_sec']} | {results[32]['synth_sec']} | {t32} | {results[32]['docs_per_sec']} |
+| {lo} (N)   | {results[lo]['fixture_sec']} | {results[lo]['synth_sec']} | {t8} | {results[lo]['docs_per_sec']} |
+| {hi} ({ratio:.0f}N) | {results[hi]['fixture_sec']} | {results[hi]['synth_sec']} | {t32} | {results[hi]['docs_per_sec']} |
 
-**speedup {summary['speedup']}× → scaling efficiency (T_N/T_4N)/4 = {summary['scaling_efficiency']}**
+**speedup {summary['speedup']}× → scaling efficiency (T_N/T_{ratio:.0f}N)/{ratio:.0f} = {summary['scaling_efficiency']}**
 (north-rule target ≥ 0.8; cores on one box stand in for executors — the
 job has no shuffle on the per-document path, so executor-level scaling has
 strictly fewer contention sources than core-level scaling on shared DRAM).

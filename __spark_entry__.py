@@ -402,6 +402,39 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_keep(d, "id", "text", 16, 4, threshold=0.7)
 
 
+def _q_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup over the minhash candidate graph —
+    the cluster-exact upgrade of minhash_dedup's greedy keep-rule."""
+    from docling_plus_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_prepare,
+    )
+    from docling_plus_spark.operators.graph import cc_dedup_keep
+
+    d = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_candidate_pairs(minhash_prepare(d, "id", "text", 16, 4))
+    return cc_dedup_keep(d, pairs, "id", threshold=0.7)
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the most recent earlier (or
+    simultaneous) reference event of its user. Oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from docling_plus_spark.operators.graph import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.select("user_id", "ts", "event_id")
+    right = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .groupBy("user_id", F.col("ts").alias("rts"))
+        .agg(F.max("event_id").alias("ref_id"))
+    )
+    return asof_join(
+        left, right, on="user_id", left_time="ts", right_time="rts",
+        value_cols=["ref_id"],
+    )
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.dedup import (
         jaccard_on_pairs,
@@ -1475,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": _q_minhash_signature,
         "minhash_candidates": _q_minhash_candidates,
         "minhash_dedup": _q_minhash_dedup,
+        "cc_dedup": _q_cc_dedup,
+        "asof_join": _q_asof_join,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "simhash_near": _q_simhash_near,
@@ -1718,6 +1753,31 @@ SELECT id_a, id_b, est_jaccard FROM pairs
 WITH {_minhash_oracle_prefix()},
 dropped AS (SELECT DISTINCT id_b AS id FROM pairs WHERE est_jaccard >= 0.7)
 SELECT id AS keep_id FROM corpus WHERE id NOT IN (SELECT id FROM dropped)
+""",
+        "cc_dedup": f"""
+WITH RECURSIVE {_minhash_oracle_prefix()},
+ed AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.7),
+sym AS (SELECT id_a AS a, id_b AS b FROM ed UNION SELECT id_b, id_a FROM ed),
+reach(n, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT n AS node, least(n, min(m)) AS comp FROM reach GROUP BY n),
+keepers AS (SELECT min(node) AS keep_id FROM comp GROUP BY comp),
+unpaired AS (
+  SELECT id AS keep_id FROM corpus WHERE id NOT IN (SELECT node FROM comp)
+)
+SELECT keep_id FROM keepers UNION ALL SELECT keep_id FROM unpaired
+""",
+        "asof_join": """
+WITH r AS (
+  SELECT user_id, ts AS rts, max(event_id) AS ref_id FROM events
+  WHERE event_id % 5 = 0 GROUP BY user_id, ts
+)
+SELECT l.user_id, l.ts, l.event_id, r.ref_id
+FROM events l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.rts
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "simhash": _simhash_oracle(),

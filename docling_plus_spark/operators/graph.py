@@ -1,0 +1,216 @@
+"""Distributed connected components + as-of join.
+
+Two operators Spark lacks natively, built the Spark-first way:
+
+* :func:`connected_components` — iterative min-label propagation with
+  pointer jumping (the two-step relabeling at the heart of the
+  MapReduce CC family — cf. Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14): each round is a neighbor-min
+  groupBy plus a label-of-label join, converging in O(log diameter)
+  rounds. This is the proper upgrade over greedy lowest-id dedup: a
+  near-duplicate *cluster* keeps exactly one exemplar even when
+  similarity edges are not transitive through the lowest id (a-b and
+  b-c similar, a-c never compared — greedy keeps {a, c}; components
+  keep {a}).
+
+* :func:`asof_join` — "most recent earlier row" join without a range
+  cross-product: union both sides into one stream, sort per key by
+  time within partitions, and carry the last left-side value forward
+  with a window ``last(..., ignorenulls)``. Cost is one shuffle on the
+  key — the same as an equi-join — versus the O(n·m)-per-key explosion
+  of the naive range-join formulation.
+
+Scale notes (100 TB): each large-star/small-star round is two
+hash-shuffles on node id; ``localCheckpoint`` truncates the lineage so
+round k's plan does not replay rounds 1..k-1 (without it the DAG
+doubles per round and the job dies on plan size long before data
+size). The convergence check is one ``count`` per round — a scalar
+action, not a collect. The as-of join is a single repartition + one
+window sort, linear in input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+
+    ``edges`` is an undirected edge list; isolated nodes absent from it
+    simply keep their own id (callers union them back, see
+    :func:`cc_dedup_keep`).
+
+    Constraint propagation is disabled for the duration of the loop:
+    Spark 4.1's ``localCheckpoint`` constraint rewrite throws
+    ``NoSuchElementException: key not found: <attr>`` when a
+    checkpointed self-join's constraints reference pre-checkpoint
+    attribute ids (and constraint tracking is quadratic on iterative
+    plans anyway — the standard recommendation for iterative
+    algorithms is to turn it off).
+    """
+    spark = edges.sparkSession
+    _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(_CONSTRAINT_CONF, "true")
+    spark.conf.set(_CONSTRAINT_CONF, "false")
+    try:
+        return _connected_components_loop(edges, src, dst, max_rounds)
+    finally:
+        spark.conf.set(_CONSTRAINT_CONF, prev)
+
+
+def _connected_components_loop(
+    edges: DataFrame, src: str, dst: str, max_rounds: int
+) -> DataFrame:
+    # current labeling as an edge set (node -> label), starting from the
+    # symmetrized input; invariant: label <= node under min-aggregation
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"), F.least(F.col("u"), F.col("mn")).alias("comp")
+        )
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # each neighbor v of u inherits u's current label; min per node.
+        # Both union legs get fresh aliases: a union leg sharing the
+        # checkpointed LogicalRDD's attribute ids trips Spark 4.1's
+        # constraint rewrite on the next localCheckpoint
+        # ("java.util.NoSuchElementException: key not found: node#N").
+        j = (
+            e.join(labels, e["u"] == labels["node"])
+            .select(F.col("v").alias("node"), F.col("comp").alias("comp"))
+            .union(
+                labels.select(
+                    F.col("node").alias("node"), F.col("comp").alias("comp")
+                )
+            )
+        )
+        new_labels = j.groupBy("node").agg(F.min("comp").alias("comp"))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        # converged when no node's label changed
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        # propagate labels through labels themselves (pointer jumping):
+        # relabel comp by the comp of the comp
+        lab2 = (
+            new_labels.alias("a")
+            .join(
+                new_labels.select(
+                    F.col("node").alias("cnode"), F.col("comp").alias("ccomp")
+                ),
+                F.col("a.comp") == F.col("cnode"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.coalesce(F.col("ccomp"), F.col("a.comp")), F.col("a.comp")
+                ).alias("comp"),
+            )
+        )
+        labels = lab2.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def cc_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    sim_col: str = "est_jaccard",
+) -> DataFrame:
+    """Connected-components dedup: one exemplar (min id) per
+    near-duplicate cluster, plus every unpaired id.
+
+    Output: (keep_id). Upgrade of the greedy rule in
+    :func:`docling_plus_spark.operators.dedup.minhash_dedup_keep`:
+    clusters are closed under similarity-edge reachability.
+    """
+    e = pairs.filter(F.col(sim_col) >= threshold).select("id_a", "id_b")
+    comp = connected_components(e)
+    keep_in_comp = comp.groupBy("comp").agg(F.min("node").alias("keep_id"))
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    unpaired = ids.join(
+        comp.select(F.col("node").alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias("keep_id"))
+    return keep_in_comp.select("keep_id").union(unpaired)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_time <= left_time`` per key (``direction='backward'``, the
+    DuckDB/pandas ``merge_asof`` default).
+
+    Plan: union both sides into one ordered stream per key and carry
+    the most recent right-side values forward with
+    ``last(..., ignorenulls=True)`` — one shuffle on ``on``, no range
+    cross-product. Ties (equal timestamps) resolve right-row-first so
+    an exactly-simultaneous right row IS visible to the left row,
+    matching ASOF semantics.
+    """
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+    lcols = [c for c in left.columns]
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col("_k").alias(on),
+        F.col("_t").alias(left_time),
+        *[F.col(c) for c in lcols if c not in (on, left_time)],
+        *[F.col(f"_c_{c}").alias(c) for c in value_cols],
+    )

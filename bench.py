@@ -70,7 +70,10 @@ def ensure_synth_parquet(spark, sf_dir: str) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("BENCH_REPLICATE", "400"))
+    # 800x (21,600 docs) amortizes per-job scheduling overhead into the
+    # noise so the headline reflects steady-state throughput (replicate
+    # 400 understated docs/sec ~2x vs the scaling runs at 1600x)
+    replicate = int(os.environ.get("BENCH_REPLICATE", "800"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     from pyspark.sql import functions as F  # noqa: F401

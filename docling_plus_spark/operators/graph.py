@@ -71,11 +71,16 @@ def _connected_components_loop(
 ) -> DataFrame:
     # current labeling as an edge set (node -> label), starting from the
     # symmetrized input; invariant: label <= node under min-aggregation
+    # materialize the symmetrized edge set once: it is referenced by the
+    # join in EVERY round, and without the checkpoint each round would
+    # recompute the upstream pipeline that produced the edges (e.g. the
+    # whole minhash candidate generation)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         e.groupBy("u")

@@ -207,8 +207,8 @@ def main() -> None:
                  f"\nSame job, same input, alternating local[{lo}]/local[{hi}] fresh JVMs"
                  " (paired rounds cancel hour-scale host drift); paired no-Spark"
                  " multiprocessing control = the box's own core-scaling ceiling.\n",
-                 "\n| round | engine eff | control eff | engine/control |"
-                 " engine docs/s @8→@32 | control docs/s @8→@32 |",
+                 f"\n| round | engine eff | control eff | engine/control |"
+                 f" engine docs/s @{lo}→@{hi} | control docs/s @{lo}→@{hi} |",
                  "\n|---|---|---|---|---|---|"]
         for i, (r8, r32, eff, c8, c32) in enumerate(rows):
             ce = (c8["sec"] / c32["sec"]) / ratio if c8 else float("nan")

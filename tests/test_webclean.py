@@ -238,3 +238,31 @@ def test_bpe_tokenizes_contractions(spark):
     # I | _can | 't | _stop | , | _won | 't | _stop | : | _42 | _times | !
     assert row.bpe_tokens == 12
     assert row.ws_tokens == 7
+
+
+# ---------------------------------------------------------------------------
+# template field extraction (document_extractor.py contract)
+
+
+def test_extract_fields_template(spark):
+    from docling_plus_spark.operators.fields import (
+        INVOICE_TEMPLATE,
+        extract_fields,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Invoice No: INV-77\nDate: 2024-01-05\nTotal: $123.45\n"
+                "Contact: a@b.co\nbody"),
+            (2, "no structured fields at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.asDict() for r in extract_fields(df, INVOICE_TEMPLATE).collect()}
+    assert out[1] == {
+        "id": 1, "invoice_no": "INV-77", "date": "2024-01-05",
+        "total": "123.45", "email": "a@b.co",
+    }
+    assert out[2] == {
+        "id": 2, "invoice_no": "", "date": "", "total": "", "email": "",
+    }

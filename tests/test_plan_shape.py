@@ -135,3 +135,38 @@ def test_small_dim_join_broadcasts(spark):
     plan = _plan(d.join(F.broadcast(dim), "lang"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_output_prunes_partitions(spark, tmp_path):
+    """Hive/Iceberg-style partitioned output must partition-prune on
+    read: a lang='en' filter reads only the en directory, not the
+    whole table — at 100 TB this is the difference between scanning
+    one partition and all of them."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    d.write.partitionBy("lang").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = _plan(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0], plan[:1200]
+    # and the filter really prunes: only the en partition's rows return
+    n_en_src = d.filter(F.col("lang") == "en").count()
+    assert back.count() == n_en_src
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must cost one exchange per side (hash on the
+    key), never a range cross-product."""
+    from docling_plus_spark.operators.graph import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("ref_id")
+    )
+    plan = _plan(
+        asof_join(left, right, "user_id", "ts", "rts", ["ref_id"])
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 3  # two union legs + window partitioning

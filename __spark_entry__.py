@@ -536,6 +536,14 @@ _PARA_SYNTH_SQL = (
     "'all rights reserved ' || lang)"
 )
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+_HOST_SYNTH_SPARK = (
+    "concat('HTTPS://Host', doc_id % 7, '.Example.COM:443/p/', doc_id, "
+    "'?utm_campaign=', doc_id)"
+)
+_HOST_SYNTH_SQL = (
+    "('HTTPS://Host' || (doc_id % 7) || '.Example.COM:443/p/' || doc_id || "
+    "'?utm_campaign=' || doc_id)"
+)
 
 
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +579,15 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         _docs(spark, sf_dir), _SAMPLE_RATES, default_rate=0.05
     )
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.webclean import host_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.expr(_HOST_SYNTH_SPARK).alias("url")
+    )
+    return host_stats(d, "doc_id", "url", "text")
 
 
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "stratified_sample": _q_stratified_sample,
         "bpe_token_stats": _q_bpe_token_stats,
+        "host_stats": _q_host_stats,
         "streaming_dedup": _q_streaming_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
@@ -1861,6 +1879,7 @@ SELECT id_a, rk, id_b, cosine FROM (
         "paragraph_dedup": _paragraph_oracle(),
         "stratified_sample": _sample_oracle(),
         "bpe_token_stats": _bpe_oracle(),
+        "host_stats": _host_stats_oracle(),
         "streaming_dedup": f"""
 WITH {SYNTH_PAGE_ORACLE_CTE}
 SELECT DISTINCT sha256(CAST(html AS VARCHAR)) AS key FROM web_pages
@@ -2064,6 +2083,12 @@ def _media_codec_oracle() -> str:
     from docling_plus_spark.operators.media_codecs import media_stats_oracle_sql
 
     return media_stats_oracle_sql()
+
+
+def _host_stats_oracle() -> str:
+    from docling_plus_spark.operators.webclean import host_stats_sql
+
+    return host_stats_sql("doc_id", _HOST_SYNTH_SQL, "text", "documents")
 
 
 def _bpe_oracle() -> str:

@@ -400,3 +400,65 @@ SELECT {id_expr} AS id,
   round(length({text_expr})::double / greatest({bpe}, 1), 4) AS chars_per_token
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain rollup (blocklist / domain-mix precursor)
+
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)"
+
+
+def host_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host, n_docs, total_tokens, min_id) per canonical host.
+
+    The per-domain accounting every curation pipeline runs before
+    domain blocklists / mixing weights. One hash shuffle on the host
+    (map-side partial agg); all outputs are exact integers, so the
+    DuckDB twin matches bit-for-bit.
+    """
+    from docling_plus_spark.functions.expressions import token_count
+
+    canon = canonical_url(F.col(url_col))
+    host = F.regexp_extract(canon, _HOST_RE, 1)
+    return (
+        df.select(
+            host.alias("host"),
+            F.col(id_col).alias("id"),
+            token_count(F.col(text_col)).cast("long").alias("toks"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.min("id").alias("min_id"),
+        )
+    )
+
+
+def host_stats_sql(
+    id_expr: str = "doc_id",
+    url_expr: str = "url",
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`host_stats` (full SELECT)."""
+    canon = canonical_url_sql(url_expr)
+    toks = (
+        f"CASE WHEN trim({text_expr}) = '' THEN 0 ELSE "
+        f"len(string_split_regex(trim({text_expr}), '\\s+')) END"
+    )
+    return f"""
+WITH c AS (
+  SELECT regexp_extract({canon}, '{_HOST_RE}', 1) AS host,
+         {id_expr} AS id, ({toks})::bigint AS toks
+  FROM {table}
+)
+SELECT host, count(*) AS n_docs, sum(toks)::bigint AS total_tokens,
+       min(id) AS min_id
+FROM c GROUP BY host
+"""

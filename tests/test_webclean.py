@@ -266,3 +266,28 @@ def test_extract_fields_template(spark):
     assert out[2] == {
         "id": 2, "invoice_no": "", "date": "", "total": "", "email": "",
     }
+
+
+def test_host_stats_matches_duckdb(spark, ddb):
+    from docling_plus_spark.operators.webclean import host_stats, host_stats_sql
+
+    synth_sql = (
+        "('HTTPS://Host' || (doc_id % 5) || '.Example.COM:443/p/' || doc_id)"
+    )
+    d = _docs(spark).select(
+        "doc_id", "text",
+        F.expr(
+            "concat('HTTPS://Host', doc_id % 5, '.Example.COM:443/p/', doc_id)"
+        ).alias("url"),
+    )
+    sp = {
+        r.host: (r.n_docs, r.total_tokens, r.min_id)
+        for r in host_stats(d).collect()
+    }
+    ora = ddb.sql(host_stats_sql("doc_id", synth_sql, "text", "documents")).df()
+    assert len(ora) == len(sp) == 5
+    for rec in ora.to_dict("records"):
+        assert rec["host"].startswith("host") and ".example.com" in rec["host"]
+        assert sp[rec["host"]] == (
+            rec["n_docs"], rec["total_tokens"], rec["min_id"],
+        )

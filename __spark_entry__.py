@@ -402,6 +402,20 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_keep(d, "id", "text", 16, 4, threshold=0.7)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: benchmark = a 40-word window from every
+    25th document; docs sharing any 8-gram with it get flagged."""
+    from docling_plus_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 10, 40), " "
+        ).alias("text")
+    )
+    return decontaminate(d, bench, "doc_id", "text", "text", n=8)
+
+
 def _q_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup over the minhash candidate graph —
     the cluster-exact upgrade of minhash_dedup's greedy keep-rule."""
@@ -1580,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": _q_minhash_candidates,
         "minhash_dedup": _q_minhash_dedup,
         "cc_dedup": _q_cc_dedup,
+        "decontaminate": _q_decontaminate,
         "asof_join": _q_asof_join,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
@@ -1829,6 +1844,7 @@ WITH {_minhash_oracle_prefix()},
 dropped AS (SELECT DISTINCT id_b AS id FROM pairs WHERE est_jaccard >= 0.7)
 SELECT id AS keep_id FROM corpus WHERE id NOT IN (SELECT id FROM dropped)
 """,
+        "decontaminate": _decontaminate_oracle(),
         "cc_dedup": f"""
 WITH RECURSIVE {_minhash_oracle_prefix()},
 ed AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.7),
@@ -2083,6 +2099,17 @@ def _media_codec_oracle() -> str:
     from docling_plus_spark.operators.media_codecs import media_stats_oracle_sql
 
     return media_stats_oracle_sql()
+
+
+def _decontaminate_oracle() -> str:
+    from docling_plus_spark.operators.dedup import decontaminate_sql
+
+    bench = (
+        "(SELECT array_to_string("
+        "string_split_regex(trim(text), '\\s+')[10:49], ' ') AS text "
+        "FROM documents WHERE doc_id % 25 = 0)"
+    )
+    return decontaminate_sql("doc_id", "text", bench, n=8)
 
 
 def _host_stats_oracle() -> str:

@@ -508,3 +508,79 @@ fps AS (
 )
 SELECT id, list_sort(list_distinct(wins)) AS fingerprints FROM fps
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Flag documents sharing any word ``n``-gram with a benchmark set
+    (the standard eval-decontamination step before pre-training).
+
+    Output: (id, contaminated, n_hits) — ``n_hits`` = distinct matching
+    n-gram hashes. Plan: the benchmark's n-gram hash set is tiny next
+    to the corpus (evals are thousands of rows, the corpus 10^12), so
+    Catalyst broadcasts it; the corpus side streams through a narrow
+    explode → broadcast semi-match → per-doc count. No shuffle touches
+    document text.
+    """
+    from pyspark.sql.functions import broadcast
+
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                hashed_shingles(shingles(F.col(text_col), n))
+            )
+        ).alias("h"),
+    )
+    bench_grams = broadcast(
+        benchmark.select(
+            F.explode(hashed_shingles(shingles(F.col(bench_text_col), n))).alias("h")
+        ).distinct()
+    )
+    hits = doc_grams.join(bench_grams, "h").groupBy("id").agg(
+        F.count_distinct("h").alias("n_hits")
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(hits, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias("contaminated"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    )
+
+
+def decontaminate_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    bench_cte: str = "benchmark",
+    n: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`decontaminate`; ``bench_cte`` must be a
+    relation with a ``text`` column."""
+    dg = hashed_shingles_sql(shingles_sql(text_expr, n))
+    bg = hashed_shingles_sql(shingles_sql("text", n))
+    return f"""
+WITH doc_grams AS (
+  SELECT {id_expr} AS id, unnest(list_distinct({dg})) AS h FROM {table}
+),
+bench_grams AS (
+  SELECT DISTINCT unnest({bg}) AS h FROM {bench_cte}
+),
+hits AS (
+  SELECT id, count(DISTINCT h) AS n_hits
+  FROM doc_grams JOIN bench_grams USING (h) GROUP BY id
+)
+SELECT d.id, coalesce(n_hits > 0, false) AS contaminated,
+       coalesce(n_hits, 0)::bigint AS n_hits
+FROM (SELECT DISTINCT {id_expr} AS id FROM {table}) d
+LEFT JOIN hits USING (id)
+"""

@@ -382,3 +382,29 @@ def test_c4_clean_matches_duckdb_oracle(spark):
         for k, v in rec.items():
             if k != "id":
                 assert mine[k] == v, (rec["id"], k)
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from docling_plus_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different words that share no gram with the bench"),
+            (3, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], "text string"
+    )
+    out = {r.id: (r.contaminated, r.n_hits) for r in
+           decontaminate(docs, bench, n=8).collect()}
+    assert out[1][0] is True and out[1][1] >= 1
+    assert out[2] == (False, 0)
+    assert out[3][0] is True
+    # scale shape: the benchmark side must broadcast
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan

@@ -117,8 +117,26 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
     jats_doctype = doctype.contains("jats-journalpublishing") | doctype.contains(
         "jats-archive"
     )
+    # image magic on the RAW bytes, before any decode (image bytes are
+    # not valid UTF-8, so the string head is NULL for them) — reference
+    # InputFormat.IMAGE detection (datamodel/base_models.py image mime
+    # map). BMP's weak 'BM' magic additionally requires a plausible DIB
+    # header size byte so text starting with "BM" is not misrouted.
+    magic = F.hex(F.substring(binary_col, 1, 16))
+    is_image = (
+        magic.startswith("89504E47")                       # PNG
+        | magic.startswith("FFD8FF")                       # JPEG
+        | magic.startswith("47494638")                     # GIF8
+        | magic.startswith("49492A00")                     # TIFF LE
+        | magic.startswith("4D4D002A")                     # TIFF BE
+        | (magic.startswith("52494646")                    # RIFF ... WEBP
+           & (F.substring(magic, 17, 8) == "57454250"))
+        | (magic.startswith("424D")                        # BMP + DIB size
+           & F.substring(magic, 29, 2).isin("0C", "28", "6C", "7C"))
+    )
     return (
-        F.when(F.substring(head, 1, 5) == "%pdf-", F.lit("pdf"))
+        F.when(is_image, F.lit("image"))
+        .when(F.substring(head, 1, 5) == "%pdf-", F.lit("pdf"))
         .when(
             head.startswith("<?xml"),
             F.when(F.substring(head, 1, 1000).contains("xhtml"), F.lit("html"))

@@ -55,6 +55,10 @@ _DEFAULT_MAX_BATCH_BYTES = 8 << 20  # 8 MiB of raw HTML per output batch
 def _classify_failure(exc: BaseException) -> str:
     """Parse-failure taxonomy for the lineage table (ErrorItem analog,
     datamodel/base_models.py:178-181)."""
+    from docling_plus_spark.formats.registry import NeedsOcrError
+
+    if isinstance(exc, NeedsOcrError):
+        return "needs_ocr"
     if isinstance(exc, UnicodeDecodeError):
         return "decode_error"
     if isinstance(exc, RecursionError):

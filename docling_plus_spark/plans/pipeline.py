@@ -87,8 +87,13 @@ def extract_pipeline(
     if num_partitions:
         prepared = skew_repartition(prepared, num_partitions)
     convert = F.col("valid") & F.col("format").isin(*formats)
-    reason = F.when(~F.col("valid"), F.lit("invalid_input")).otherwise(
-        F.concat(F.lit("unsupported_format:"), F.col("format"))
+    # raster content is classified (S8: reference routes IMAGE to OCR,
+    # absent here), not lumped under unsupported_format — gated in the
+    # plan so no Python is spent raising per image row
+    reason = (
+        F.when(~F.col("valid"), F.lit("invalid_input"))
+        .when(F.col("format") == "image", F.lit("needs_ocr"))
+        .otherwise(F.concat(F.lit("unsupported_format:"), F.col("format")))
     )
     # single pass, single scan: derived metadata rides through the UDF
     # in-batch, gate folded into the stage (rejects become status rows)

@@ -181,3 +181,43 @@ def test_epoch_commit_is_atomic_and_metrics_never_double_count(spark, tmp_path):
     # and a second epoch run is a no-op
     summary2 = run_epoch(pages, results, metrics)
     assert summary2["processed"] == 0
+
+
+def test_image_rows_classified_needs_ocr(spark):
+    """S8: raster content is detected by raw-byte magic (the UTF-8 head
+    is NULL for it) and classified needs_ocr — present in the output,
+    never silently dropped and never 'unsupported_format'."""
+    from docling_plus_spark.functions.expressions import sniff_format
+    from docling_plus_spark.operators.media_codecs import make_bmp
+    from docling_plus_spark.plans import extract_pipeline
+
+    rows = [
+        ("https://x/p.png", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)),
+        ("https://x/p.jpg", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 64)),
+        ("https://x/p.gif", bytearray(b"GIF89a" + b"\x00" * 64)),
+        ("https://x/p.bmp", bytearray(make_bmp(2))),
+        ("https://x/p.webp", bytearray(b"RIFF\x10\x00\x00\x00WEBP" + b"\x00" * 32)),
+        # text that merely STARTS with 'BM' must stay text/html
+        ("https://x/bmw.txt", bytearray(b"BMW builds cars and motorcycles.")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    sniffed = {
+        r.url: r.fmt
+        for r in df.select(
+            "url", sniff_format(F.col("html"), F.col("url")).alias("fmt")
+        ).collect()
+    }
+    for u in list(sniffed)[:5]:
+        if "bmw" not in u:
+            assert sniffed[u] == "image", (u, sniffed[u])
+    assert sniffed["https://x/bmw.txt"] != "image"
+
+    out = {r.url: r for r in extract_pipeline(df).collect()}
+    assert len(out) == 6  # total over input
+    for u, r in out.items():
+        if "bmw" in u:
+            # not misrouted to the image path (plain text is gated by
+            # the default formats tuple, a separate policy)
+            assert r.failure_class != "needs_ocr"
+        else:
+            assert r.status == "failure" and r.failure_class == "needs_ocr", u

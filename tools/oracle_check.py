@@ -68,6 +68,7 @@ def main() -> int:
 
     qs, os_ = e.queries(), e.oracle_sql()
     failures = 0
+    passes = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -103,7 +104,9 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             failures += 1
         else:
+            passes += 1
             print(f"PASS {name}: {len(sn)} rows")
+    print(f"SUMMARY: {passes} pass, {failures} fail, {passes + failures} checked")
     return 1 if failures else 0
 
 

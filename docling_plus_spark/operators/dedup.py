@@ -470,6 +470,74 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_exploded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Scalar-row projection of :func:`winnow_fingerprints`:
+    one ``(id, fingerprint)`` row per selected fingerprint.
+
+    This is the join-ready / driver-checkable shape (array columns can't
+    be canonicalized by pandas-based comparators); the arrays stay an
+    internal intermediate, exactly like the MinHash path projects
+    signature components to scalars before anything crosses a contract
+    boundary. Still pure JVM expressions, still shuffle-free.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    return fps.select("id", F.explode("fingerprints").alias("fingerprint"))
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """MOSS-style dedup candidates: documents sharing >= 1 winnowing
+    fingerprint, with the shared-fingerprint count as match strength.
+    The SIGMOD'03 guarantee makes this a superset of all pairs sharing a
+    substring of length >= k+window-1.
+
+    Scale shape: explode fingerprints (narrow), self-join shuffling on
+    the fingerprint value, then groupBy(id_a, id_b) count. A fingerprint
+    shared by m documents yields m^2 join rows, so the same mega-bucket
+    salt-split guard as :func:`minhash_candidate_pairs` applies: buckets
+    over ``max_bucket`` are decomposed into canonical grid cells
+    {min(i,g), max(i,g)} so no single task materializes the m^2 blowup.
+    The join carries only (fingerprint, id) — no payloads.
+    """
+    fp = winnow_fingerprints_exploded(df, id_col, text_col, k, window)
+    counts = fp.groupBy("fingerprint").agg(F.count("*").alias("_m"))
+    splits = (F.ceil(F.col("_m") / F.lit(max_bucket))).cast("int").alias("_s")
+    p = fp.join(counts.select("fingerprint", splits), "fingerprint").withColumn(
+        "_g", F.pmod(F.xxhash64(F.col("id")), F.col("_s")).cast("int")
+    )
+    cells = F.transform(
+        F.sequence(F.lit(0), F.col("_s") - 1),
+        lambda i: F.struct(
+            F.least(i, F.col("_g")).alias("u"), F.greatest(i, F.col("_g")).alias("v")
+        ),
+    )
+    keyed = p.select("fingerprint", "id", F.explode(cells).alias("cell"))
+    a = keyed.select("fingerprint", "cell", F.col("id").alias("id_a"))
+    b = keyed.select("fingerprint", "cell", F.col("id").alias("id_b"))
+    joined = (
+        a.join(b, ["fingerprint", "cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # same-group pairs meet in s cells — collapse before counting
+        .select("fingerprint", "id_a", "id_b")
+        .distinct()
+    )
+    return joined.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("shared_fingerprints")
+    )
+
+
 def winnow_fingerprints_sql(
     id_expr: str = "doc_id",
     text_expr: str = "text",
@@ -507,6 +575,38 @@ fps AS (
   FROM grams
 )
 SELECT id, list_sort(list_distinct(wins)) AS fingerprints FROM fps
+"""
+
+
+def winnow_fingerprints_exploded_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 8,
+    window: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints_exploded`."""
+    inner = winnow_fingerprints_sql(id_expr, text_expr, k, window, table)
+    return f"""
+SELECT id, unnest(fingerprints) AS fingerprint
+FROM ({inner})
+"""
+
+
+def winnow_candidate_pairs_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 8,
+    window: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`winnow_candidate_pairs`."""
+    exploded = winnow_fingerprints_exploded_sql(id_expr, text_expr, k, window, table)
+    return f"""
+WITH fp AS ({exploded})
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.id < b.id
+GROUP BY 1, 2
 """
 
 

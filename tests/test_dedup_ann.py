@@ -273,6 +273,51 @@ def test_winnow_fingerprints_short_and_empty(spark):
     assert len(rows[3]) == 1
 
 
+def test_winnow_candidate_pairs_planted(spark):
+    """The MOSS consumer: planted-overlap pair surfaces as a candidate
+    with shared_fingerprints >= 1; the disjoint-alphabet doc pairs with
+    nobody. Counts agree with intersecting the per-doc fingerprint sets."""
+    from docling_plus_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "completely different head " + shared),
+            (3, "zzzz qqqq vvvv kkkk xxxx wwww yyyy uuuu"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fingerprints
+        for r in winnow_candidate_pairs(df).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    fps = {r.id: set(r.fingerprints) for r in winnow_fingerprints(df).collect()}
+    assert pairs[(1, 2)] == len(fps[1] & fps[2])
+
+
+def test_winnow_candidate_pairs_mega_bucket(spark):
+    """Degenerate corpus: many identical documents all share every
+    fingerprint; the salt-split guard (tiny max_bucket) must still emit
+    every unordered pair exactly once."""
+    from docling_plus_spark.operators.dedup import winnow_candidate_pairs
+
+    n = 30
+    df = spark.createDataFrame(
+        [(i, "identical content repeated for the degenerate case") for i in range(n)],
+        "doc_id long, text string",
+    )
+    out = winnow_candidate_pairs(df, max_bucket=4).collect()
+    assert len(out) == n * (n - 1) // 2
+    counts = {r.shared_fingerprints for r in out}
+    assert len(counts) == 1  # identical docs → identical overlap count
+
+
 def test_gopher_signals_rules(spark):
     """Hand-built documents exercising each Gopher rule branch."""
     from docling_plus_spark.operators.quality import gopher_signals

@@ -1518,6 +1518,17 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5-line paragraphs, fixture geometry), so the expected extraction output
 # is paragraphs of 30 words — SQL-expressible for the oracle.
 
+def _q_pdf_bytes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PDF-bytes path: documents → deterministic PDF bytes
+    (pdf/synth.py) → stdlib parser (pdf/pdfbytes.py) → layout/assemble →
+    text. The oracle's expected text is the original text verbatim
+    (the writer/parser pair round-trips byte-identically)."""
+    from docling_plus_spark.sources.web_pages import synth_pdf_pages_from_documents
+
+    out = extract_pipeline(synth_pdf_pages_from_documents(spark, sf_dir))
+    return out.select("url", "status", "format", "text")
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.pdf.pipeline import PAGES_SCHEMA, pdf_pipeline
 
@@ -1589,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new/changed this round (never driver-verified) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
+        "pdf_bytes_extract": _q_pdf_bytes_extract,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -1909,6 +1921,11 @@ SELECT id_a, rk, id_b, cosine FROM (
         "ann_topk_ivf": _ann_ivf_oracle(),
         "winnow_fingerprint": _winnow_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
+        "pdf_bytes_extract": """
+SELECT 'https://synthpdf.test/doc/' || doc_id::varchar AS url,
+       'success' AS status, 'pdf' AS format, text
+FROM documents
+""",
         "gopher_quality": _gopher_oracle(),
         "c4_clean": _c4_oracle(),
         "pii_redact": _pii_oracle(),

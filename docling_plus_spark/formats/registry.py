@@ -47,6 +47,7 @@ def _converters() -> dict:
     from .json_backend import convert_docling_json
     from .md_backend import convert_markdown
     from .mets_gbs_backend import convert_mets_gbs
+    from .pdf_backend import convert_pdf
     from .pptx_backend import convert_pptx
     from .uspto_backend import convert_uspto
     from .vtt_backend import convert_vtt
@@ -54,6 +55,7 @@ def _converters() -> dict:
 
     return {
         "html": convert_html,
+        "pdf": convert_pdf,
         "csv": convert_csv,
         "md": convert_markdown,
         "vtt": convert_vtt,

@@ -22,6 +22,7 @@ from dataclasses import replace
 from .geometry import (
     BBox,
     Cluster,
+    EPS,
     LABEL_CAPTION,
     LABEL_CHECKBOX_SELECTED,
     LABEL_CHECKBOX_UNSELECTED,
@@ -409,6 +410,25 @@ def propose_clusters(
         )
     heights = sorted(b.height() for b in line_boxes)
     med_h = heights[len(heights) // 2] if heights else 1.0
+    # paragraph threshold from the page's own leading: the median
+    # top-to-top step between vertically-consecutive, horizontally-
+    # overlapping lines. Real PDFs often have line-bbox gaps near zero
+    # (ascender-to-descender leading) while paragraph breaks only double
+    # the step, so bbox-gap vs line-HEIGHT misclassifies; step-vs-median-
+    # step separates them robustly on both synthetic fixtures (step
+    # 1.2×h, para 2×h extra) and real pages (step ≈ 1.04×h, para ≈ 2×).
+    steps = []
+    for i, lb in enumerate(line_boxes):
+        best = None
+        for j, ob in enumerate(line_boxes):
+            if ob.t > lb.t + EPS and ob.overlaps_horizontally(lb):
+                d = ob.t - lb.t
+                if best is None or d < best:
+                    best = d
+        if best is not None:
+            steps.append(best)
+    steps.sort()
+    med_step = steps[len(steps) // 2] if steps else med_h * 1.2
     # merge consecutive (top-down) lines into blocks
     order = sorted(range(len(lines)), key=lambda i: -line_boxes[i].t)
     blocks: list = []
@@ -417,17 +437,18 @@ def propose_clusters(
         target = None
         for blk in blocks:
             bb = blk["bbox"]
-            gap = bb.b - lb.t
+            delta = blk["last_top"] - lb.t
             if (
-                -med_h * 0.5 <= gap <= para_gap_factor * med_h
+                -med_h * 0.5 <= delta <= para_gap_factor * med_step
                 and bb.overlaps_horizontally(lb)
             ):
                 target = blk
                 break
         if target is None:
-            blocks.append({"bbox": lb, "lines": [i]})
+            blocks.append({"bbox": lb, "lines": [i], "last_top": lb.t})
         else:
             target["lines"].append(i)
+            target["last_top"] = min(target["last_top"], lb.t)
             bb = target["bbox"]
             target["bbox"] = BBox(
                 l=min(bb.l, lb.l), b=min(bb.b, lb.b), r=max(bb.r, lb.r), t=max(bb.t, lb.t)

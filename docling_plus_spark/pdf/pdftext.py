@@ -1,0 +1,463 @@
+"""Content-stream text interpreter for the stdlib PDF parser.
+
+Executes the text-positioning subset of the PDF graphics model
+(q/Q/cm, BT/ET, Tm/Td/TD/T*/TL/Tc/Tw/Tz/Ts, Tj/TJ/'/", Do for Form
+XObjects, BI..EI skip) and emits per-page glyph quads in device space,
+then assembles them into word fragments → line cells via the same
+2-pass merge as the pypdfium backend reimplementation
+(`pdf/cells.py`, reference backend/pypdfium2_backend.py:121-253).
+
+Output contract matches the pre-parsed fixture path (`pdf/fixtures.py`):
+one dict per page with ``page_no/width/height`` and ``cells`` carrying
+``index/text/l/t/r/b`` in TOP-LEFT origin
+(docling_parse_v4_backend.py:68-73 convention).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterator
+
+from .geometry import BBox, TextCell
+from .pdfbytes import (
+    Name,
+    NeedsNativeParserError,
+    PdfDocument,
+    Stream,
+    _skip_ws,
+    parse_object,
+)
+from .pdffonts import BaseFont, load_font
+
+Matrix = tuple[float, float, float, float, float, float]
+IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m: Matrix, n: Matrix) -> Matrix:
+    a1, b1, c1, d1, e1, f1 = m
+    a2, b2, c2, d2, e2, f2 = n
+    return (
+        a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _apply(m: Matrix, x: float, y: float) -> tuple[float, float]:
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _content_tokens(data: bytes) -> Iterator[tuple[str, Any]]:
+    """Yield ('obj', value) operands and ('op', name) operators."""
+    i = 0
+    n = len(data)
+    while i < n:
+        i = _skip_ws(data, i)
+        if i >= n:
+            return
+        c = data[i]
+        if (c in b"<[(/" or c in b"+-." or 0x30 <= c <= 0x39):
+            try:
+                obj, i = parse_object(data, i)
+            except Exception:
+                i += 1
+                continue
+            yield ("obj", obj)
+            continue
+        m = _OP_RE.match(data, i)
+        if m:
+            op = m.group(0).decode("latin-1")
+            i = m.end()
+            if op in ("true", "false", "null"):
+                yield ("obj", op == "true")
+            elif op == "BI":
+                # inline image: skip to EI bounded by whitespace
+                j = data.find(b"EI", i)
+                while j > 0 and not (data[j - 1] in b"\x00\t\n\x0c\r "):
+                    j = data.find(b"EI", j + 2)
+                i = (j + 2) if j >= 0 else n
+            else:
+                yield ("op", op)
+            continue
+        i += 1  # unknown byte: skip
+
+
+class _GlyphQuad:
+    __slots__ = ("text", "l", "b", "r", "t", "size", "baseline", "is_space")
+
+    def __init__(self, text, l, b, r, t, size, baseline, is_space):
+        self.text = text
+        self.l, self.b, self.r, self.t = l, b, r, t
+        self.size = size
+        self.baseline = baseline
+        self.is_space = is_space
+
+
+class _TextExtractor:
+    """One page's content execution → glyph quads (device space, y-up)."""
+
+    MAX_GLYPHS = 200_000
+    MAX_FORM_DEPTH = 8
+
+    def __init__(self, doc: PdfDocument):
+        self.doc = doc
+        self.glyphs: list[_GlyphQuad] = []
+        self._font_cache: dict[int, BaseFont | None] = {}
+
+    def run(self, content: bytes, resources: Any, ctm: Matrix) -> None:
+        self._execute(content, self.doc.resolve(resources) or {}, ctm, 0)
+
+    # -- resources --------------------------------------------------------
+
+    def _get_font(self, resources: dict, name: Name) -> BaseFont | None:
+        fonts = self.doc.resolve(resources.get(Name("Font"))) or {}
+        ref = fonts.get(name) if isinstance(fonts, dict) else None
+        key = id(ref) if not hasattr(ref, "num") else ref.num
+        if key not in self._font_cache:
+            self._font_cache[key] = load_font(self.doc, ref)
+        return self._font_cache[key]
+
+    # -- interpreter ------------------------------------------------------
+
+    def _execute(self, content: bytes, resources: dict, base_ctm: Matrix,
+                 depth: int) -> None:
+        if depth > self.MAX_FORM_DEPTH:
+            return
+        doc = self.doc
+        ctm = base_ctm
+        stack: list[Matrix] = []
+        font: BaseFont | None = None
+        tfs = 0.0        # font size
+        tc = 0.0         # char spacing
+        tw = 0.0         # word spacing
+        th = 1.0         # horizontal scaling
+        tl = 0.0         # leading
+        ts = 0.0         # rise
+        tm: Matrix = IDENTITY
+        tlm: Matrix = IDENTITY
+        operands: list = []
+
+        def show(raw: bytes) -> None:
+            nonlocal tm
+            if font is None or len(self.glyphs) > self.MAX_GLYPHS:
+                return
+            for g in font.decode(raw):
+                w0 = g.width / 1000.0
+                trm = _mat_mul((tfs * th, 0.0, 0.0, tfs, 0.0, ts), _mat_mul(tm, ctm))
+                adv = (w0 * tfs + tc + (tw if g.is_space and not font.two_byte else 0.0)) * th
+                if g.text or g.is_space:
+                    x0, y0 = _apply(trm, 0.0, font.descent)
+                    x1, y1 = _apply(trm, w0, font.ascent)
+                    x2, y2 = _apply(trm, 0.0, font.ascent)
+                    x3, y3 = _apply(trm, w0, font.descent)
+                    bx0, by0 = _apply(trm, 0.0, 0.0)
+                    size = abs(trm[3]) or abs(trm[1]) or tfs
+                    is_space = g.is_space or g.text.isspace()
+                    self.glyphs.append(_GlyphQuad(
+                        " " if is_space else g.text,
+                        min(x0, x1, x2, x3), min(y0, y1, y2, y3),
+                        max(x0, x1, x2, x3), max(y0, y1, y2, y3),
+                        size, by0, is_space,
+                    ))
+                tm = _mat_mul((1.0, 0.0, 0.0, 1.0, adv, 0.0), tm)
+
+        for kind, tok in _content_tokens(content):
+            if kind == "obj":
+                operands.append(tok)
+                continue
+            op = tok
+            try:
+                if op == "q":
+                    stack.append(ctm)
+                elif op == "Q":
+                    if stack:
+                        ctm = stack.pop()
+                elif op == "cm" and len(operands) >= 6:
+                    m = tuple(float(v) for v in operands[-6:])
+                    ctm = _mat_mul(m, ctm)  # type: ignore[arg-type]
+                elif op == "BT":
+                    tm = tlm = IDENTITY
+                elif op == "ET":
+                    pass
+                elif op == "Tf" and len(operands) >= 2:
+                    fname = operands[-2]
+                    if isinstance(fname, Name):
+                        font = self._get_font(resources, fname)
+                    tfs = float(operands[-1])
+                elif op == "Td" and len(operands) >= 2:
+                    tlm = _mat_mul(
+                        (1, 0, 0, 1, float(operands[-2]), float(operands[-1])), tlm)
+                    tm = tlm
+                elif op == "TD" and len(operands) >= 2:
+                    tl = -float(operands[-1])
+                    tlm = _mat_mul(
+                        (1, 0, 0, 1, float(operands[-2]), float(operands[-1])), tlm)
+                    tm = tlm
+                elif op == "Tm" and len(operands) >= 6:
+                    tlm = tuple(float(v) for v in operands[-6:])  # type: ignore
+                    tm = tlm
+                elif op == "T*":
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                elif op == "TL" and operands:
+                    tl = float(operands[-1])
+                elif op == "Tc" and operands:
+                    tc = float(operands[-1])
+                elif op == "Tw" and operands:
+                    tw = float(operands[-1])
+                elif op == "Tz" and operands:
+                    th = float(operands[-1]) / 100.0
+                elif op == "Ts" and operands:
+                    ts = float(operands[-1])
+                elif op == "Tj" and operands and isinstance(operands[-1], bytes):
+                    show(operands[-1])
+                elif op == "'" and operands and isinstance(operands[-1], bytes):
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                    show(operands[-1])
+                elif op == '"' and len(operands) >= 3:
+                    tw = float(operands[-3])
+                    tc = float(operands[-2])
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                    if isinstance(operands[-1], bytes):
+                        show(operands[-1])
+                elif op == "TJ" and operands and isinstance(operands[-1], list):
+                    for item in operands[-1]:
+                        if isinstance(item, bytes):
+                            show(item)
+                        elif isinstance(item, (int, float)):
+                            adv = -float(item) / 1000.0 * tfs * th
+                            tm = _mat_mul((1, 0, 0, 1, adv, 0.0), tm)
+                elif op == "Do" and operands and isinstance(operands[-1], Name):
+                    xobjs = doc.resolve(resources.get(Name("XObject"))) or {}
+                    xo = doc.resolve(xobjs.get(operands[-1])) \
+                        if isinstance(xobjs, dict) else None
+                    if isinstance(xo, Stream) and \
+                            str(doc.resolve(xo.dict.get(Name("Subtype"), ""))) == "Form":
+                        sub_res = doc.resolve(xo.dict.get(Name("Resources"))) \
+                            or resources
+                        fm = doc.resolve(xo.dict.get(Name("Matrix")))
+                        sub_ctm = ctm
+                        if isinstance(fm, list) and len(fm) == 6:
+                            sub_ctm = _mat_mul(
+                                tuple(float(doc.resolve(v) or 0) for v in fm), ctm)
+                        try:
+                            self._execute(doc.decode_stream(xo), sub_res,
+                                          sub_ctm, depth + 1)
+                        except NeedsNativeParserError:
+                            pass
+            except (TypeError, ValueError, IndexError):
+                pass
+            operands = []
+
+
+# ---------------------------------------------------------------------------
+# glyphs → words → rows → line cells
+#
+# Thresholds calibrated against the reference's shipped per-page
+# cell-count goldens (*.pages.meta.json) across all 9 fixture PDFs:
+#   WORD_GAP  0.2 em — a kern larger than this is an inter-word space
+#             (TeX emits no space glyphs; word spaces are TJ kerns of
+#             ~0.33 em, letter kerns stay below ~0.1 em)
+#   CELL_GAP  0.5 em — a gap larger than this starts a new text cell
+#             within the row (column gutters, sentence double-spaces
+#             in TeX, tab-like alignment)
+# plus the trailing-space rule: a whitespace run that ends a row
+# segment is its own cell (docling-parse keeps paragraph-final space
+# runs as separate textline cells — verified exactly on multi_page).
+
+WORD_GAP = 0.2
+CELL_GAP = 0.5
+
+_RTL_RE = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
+_LTR_RE = re.compile(r"[A-Za-zÀ-ɏ]")
+
+
+def _direction(text: str) -> int:
+    """1 = LTR, -1 = RTL, 0 = neutral (digits/punct/space)."""
+    if _RTL_RE.search(text):
+        return -1
+    if _LTR_RE.search(text):
+        return 1
+    return 0
+
+
+class _Word:
+    __slots__ = ("text", "l", "b", "r", "t", "size", "is_space")
+
+    def __init__(self, glyphs: list[_GlyphQuad]):
+        self.text = "".join(g.text for g in glyphs)
+        self.l = min(g.l for g in glyphs)
+        self.b = min(g.b for g in glyphs)
+        self.r = max(g.r for g in glyphs)
+        self.t = max(g.t for g in glyphs)
+        self.size = max(g.size for g in glyphs)
+        self.is_space = not self.text.strip()
+
+
+def _glyphs_to_words(glyphs: list[_GlyphQuad]) -> list[_Word]:
+    """Emission-order word assembly: breaks on space↔text transitions,
+    baseline jumps, inter-word kern gaps (> WORD_GAP em) and backwards
+    motion."""
+    words: list[_Word] = []
+    cur: list[_GlyphQuad] = []
+    mode: bool | None = None
+    prev: _GlyphQuad | None = None
+    for g in glyphs:
+        brk = g.is_space is not mode
+        if prev is not None and cur and not brk:
+            gap = g.l - max(x.r for x in cur[-3:])
+            em = max(g.size, 1e-6)
+            if abs(g.baseline - prev.baseline) > 0.5 * max(g.size, prev.size, 1e-6):
+                brk = True
+            elif gap > WORD_GAP * em or gap < -2.0 * em:
+                brk = True
+        if brk and cur:
+            words.append(_Word(cur))
+            cur = []
+        mode = g.is_space
+        cur.append(g)
+        prev = g
+    if cur:
+        words.append(_Word(cur))
+    return words
+
+
+def _words_to_cells(words: list[_Word]) -> list[TextCell]:
+    """Rows by vertical overlap (>50% of the smaller height, the
+    pypdfium row rule), then split each row into cells at gaps >
+    CELL_GAP em, keeping trailing whitespace runs as their own cells."""
+    if not words:
+        return []
+    rows: list[dict] = []
+    for w in sorted(words, key=lambda w: (-w.t, w.l)):
+        placed = False
+        for row in rows:
+            inter = min(row["t"], w.t) - max(row["b"], w.b)
+            min_h = min(row["t"] - row["b"], w.t - w.b)
+            if min_h > 0 and inter / min_h > 0.5:
+                row["words"].append(w)
+                row["t"] = max(row["t"], w.t)
+                row["b"] = min(row["b"], w.b)
+                placed = True
+                break
+        if not placed:
+            rows.append({"t": w.t, "b": w.b, "words": [w]})
+
+    cells: list[TextCell] = []
+
+    def emit(seg: list[_Word]) -> None:
+        for part in (seg,):
+            if not part:
+                continue
+            text_parts: list[str] = []
+            for i, w in enumerate(part):
+                if i > 0:
+                    gap = w.l - part[i - 1].r
+                    if gap > 0.08 * max(w.size, 1e-6) and not (
+                            w.is_space or part[i - 1].is_space):
+                        text_parts.append(" ")
+                text_parts.append(w.text)
+            text = "".join(text_parts)
+            if not text.strip():
+                text = " "
+            cells.append(TextCell(
+                index=len(cells), text=text,
+                bbox=BBox(
+                    l=min(w.l for w in part), b=min(w.b for w in part),
+                    r=max(w.r for w in part), t=max(w.t for w in part))))
+
+    for row in sorted(rows, key=lambda r: -r["t"]):
+        rw = sorted(row["words"], key=lambda w: w.l)
+        seg: list[_Word] = [rw[0]]
+        seg_dir = _direction(rw[0].text)
+        for w in rw[1:]:
+            gap = w.l - max(x.r for x in seg)
+            w_dir = _direction(w.text)
+            # bidi boundary: a strong-direction change starts a new
+            # textline cell (RTL pages interleave Arabic/Hebrew runs
+            # with Latin identifiers; parsers segment at the switch)
+            bidi = w_dir != 0 and seg_dir != 0 and w_dir != seg_dir
+            # a wide whitespace run (checkbox fields, table gutters
+            # filled with literal spaces) separates cells just like an
+            # empty gap of the same width would
+            wide_space = w.is_space and (w.r - w.l) > 2.0 * max(w.size, 1e-6)
+            if gap > CELL_GAP * max(w.size, 1e-6) or bidi or wide_space:
+                emit(seg)
+                seg = [w]
+                seg_dir = w_dir
+            else:
+                seg.append(w)
+                if w_dir != 0:
+                    seg_dir = w_dir
+        emit(seg)
+    return cells
+
+
+def extract_pdf_pages(data: bytes, max_pages: int = 0) -> list[dict]:
+    """``%PDF-`` bytes → list of page dicts:
+    ``{page_no, width, height, cells:[{index,text,l,t,r,b}]}``
+    with top-left-origin cell coordinates (parser contract).
+
+    Raises :class:`NeedsNativeParserError` for encrypted/unparseable
+    files — callers turn that into a classified failure row.
+    """
+    doc = PdfDocument(data)
+    pages = doc.pages()
+    if max_pages:
+        pages = pages[:max_pages]
+    out: list[dict] = []
+    for pno, page in enumerate(pages, start=1):
+        media = doc.resolve(page.get(Name("MediaBox"))) or [0, 0, 612, 792]
+        media = [float(doc.resolve(v) or 0) for v in media]
+        llx, lly, urx, ury = media[0], media[1], media[2], media[3]
+        w, h = abs(urx - llx), abs(ury - lly)
+        rotate = int(doc.resolve(page.get(Name("Rotate"), 0)) or 0) % 360
+        # base CTM maps PDF user space to a y-up frame with origin at
+        # the page's lower-left corner, honoring /Rotate
+        if rotate == 90:
+            ctm: Matrix = (0, 1, -1, 0, ury, -llx)
+            pw, ph = h, w
+        elif rotate == 180:
+            ctm = (-1, 0, 0, -1, urx, ury)
+            pw, ph = w, h
+        elif rotate == 270:
+            ctm = (0, -1, 1, 0, -lly, urx)
+            pw, ph = h, w
+        else:
+            ctm = (1, 0, 0, 1, -llx, -lly)
+            pw, ph = w, h
+        ex = _TextExtractor(doc)
+        try:
+            content = doc.page_content(page)
+            ex.run(content, page.get(Name("Resources")), ctm)
+        except NeedsNativeParserError:
+            raise
+        except Exception:
+            pass  # partial page: keep whatever was extracted
+        merged = _words_to_cells(_glyphs_to_words(ex.glyphs))
+        cells = []
+        for c in merged:
+            l, t, r, b = c.bbox.to_top_left(ph)
+            cells.append({
+                "index": c.index, "text": c.text,
+                "l": round(l, 3), "t": round(t, 3),
+                "r": round(r, 3), "b": round(b, 3),
+            })
+        out.append({"page_no": pno, "width": pw, "height": ph, "cells": cells})
+    return out
+
+
+def extract_pdf_text(data: bytes, max_pages: int = 0) -> str:
+    """Plain-text convenience: cells in row order joined by newlines,
+    pages separated by form-feed-free blank lines."""
+    pages = extract_pdf_pages(data, max_pages)
+    parts = []
+    for p in pages:
+        lines = [c["text"] for c in sorted(p["cells"], key=lambda c: (c["t"], c["l"]))]
+        parts.append("\n".join(lines))
+    return "\n\n".join(parts)

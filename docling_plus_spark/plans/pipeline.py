@@ -71,7 +71,7 @@ def prepare_pages(
 def extract_pipeline(
     pages: DataFrame,
     num_partitions: Optional[int] = None,
-    formats: tuple = ("html", "csv", "md", "vtt", "asciidoc", "docx", "pptx", "xlsx", "json", "xml_jats", "xml_uspto", "mets_gbs"),
+    formats: tuple = ("html", "pdf", "csv", "md", "vtt", "asciidoc", "docx", "pptx", "xlsx", "json", "xml_jats", "xml_uspto", "mets_gbs"),
     max_file_size: int = DEFAULT_MAX_FILE_SIZE,
     include_json: bool = False,
     include_doctags: bool = False,

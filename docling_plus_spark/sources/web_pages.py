@@ -90,6 +90,31 @@ def synth_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → (url, warc_ts, html=PDF bytes, text, lang).
+
+    The ``html`` binary column carries real ``%PDF-`` bytes built by the
+    deterministic writer (`pdf/synth.py`); the format sniffer routes
+    them to the pdf-bytes backend. Arrow-vectorized pandas UDF — the
+    per-document writer runs over whole batches, no per-row Python in
+    the plan."""
+    def _pdf_of_text_fn(texts):
+        from docling_plus_spark.pdf.synth import make_text_pdf
+
+        return texts.map(lambda t: make_text_pdf(t or ""))
+
+    _pdf_of_text = F.pandas_udf(_pdf_of_text_fn, "binary")
+
+    docs = read_documents(spark, sf_dir)
+    return docs.select(
+        F.concat(F.lit("https://synthpdf.test/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH0) + F.col("doc_id")).alias("warc_ts"),
+        _pdf_of_text(F.col("text")).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 #: DuckDB twin of synth_pages_from_documents, as a CTE body (compose as
 #: ``WITH {SYNTH_PAGE_ORACLE_CTE} SELECT ...``). ``expected_text`` /
 #: ``expected_md`` are what the extraction engine must emit per url.

@@ -475,7 +475,9 @@ def test_mixed_format_spark_dispatch():
     assert csv_row["status"] == "success" and csv_row["num_tables"] == 1
     md_row = out["https://x.test/c.md"]
     assert md_row["status"] == "success" and md_row["md"].startswith("# Head")
-    assert out["https://x.test/d.pdf"]["failure_class"] == "unsupported_format:pdf"
+    # pdf is a supported format since round 3; truncated header-only
+    # bytes classify as needs_native_parser (never silently dropped)
+    assert out["https://x.test/d.pdf"]["failure_class"] == "needs_native_parser"
     vtt_row = out["https://x.test/e.vtt"]
     assert vtt_row["status"] == "success"
     assert vtt_row["text"] == "00:01.000 --> 00:02.000\nAnn: \nhello there"

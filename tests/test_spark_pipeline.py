@@ -73,7 +73,9 @@ def test_failure_rows_not_exceptions(spark):
     assert len(out) == 4
     assert out["https://x.test/c.html"]["status"] == "success"
     assert out["https://x.test/b.html"]["failure_class"] == "invalid_input"
-    assert out["https://x.test/d.bin"]["failure_class"] == "unsupported_format:pdf"
+    # pdf routes to the stdlib pdf-bytes backend since round 3; a bare
+    # header with no xref is a classified parse failure
+    assert out["https://x.test/d.bin"]["failure_class"] == "needs_native_parser"
     # garbage bytes: conversion is lenient, must not raise either way
     assert out["https://x.test/a.html"]["status"] in ("success", "failure")
 

@@ -1518,6 +1518,107 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5-line paragraphs, fixture geometry), so the expected extraction output
 # is paragraphs of 30 words — SQL-expressible for the oracle.
 
+def _q_table_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 full path as a driver query: synthesize one predicted table
+    per document (grid a pure function of doc_id, word cells exactly
+    overlapping predicted cells), run the 13-step TableFormer repair
+    stage (pdf/table_postprocess.py via repair_predicted_tables), and
+    project the repaired grid to scalars. For clean input the repair is
+    dimension/text-preserving, so DuckDB can reconstruct the expected
+    output exactly."""
+    from docling_plus_spark.pdf.pipeline import repair_predicted_tables
+
+    d = _docs(spark, sf_dir)
+    nrows = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(3))).cast("int")
+    ncols = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    idx = F.sequence(F.lit(0), nrows * ncols - 1)
+
+    def cell_bbox(i):
+        r = F.floor(i / ncols).cast("int")
+        c = F.pmod(i, ncols).cast("int")
+        return r, c, F.array(
+            (c * 100).cast("double"), (r * 20).cast("double"),
+            (c * 100 + 90).cast("double"), (r * 20 + 15).cast("double"),
+        )
+
+    def pred_cell(i):
+        r, c, bbox = cell_bbox(i)
+        return F.struct(
+            i.cast("int").alias("cell_id"), r.alias("row_id"),
+            c.alias("column_id"), bbox.alias("bbox"),
+            F.lit("body").alias("label"), F.lit(2).alias("cell_class"),
+        )
+
+    def word_cell(i):
+        r, c, bbox = cell_bbox(i)
+        text = F.concat(
+            F.lit("d"), F.col("doc_id").cast("string"),
+            F.lit("r"), r.cast("string"), F.lit("c"), c.cast("string"),
+        )
+        return F.struct(i.cast("int").alias("id"), bbox.alias("bbox"), text.alias("text"))
+
+    preds = d.select(
+        F.concat(F.lit("https://synth.test/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(1).alias("page_no"),
+        F.lit(0).alias("cid"),
+        F.to_json(F.transform(idx, pred_cell)).alias("pred_cells_json"),
+        F.to_json(F.transform(idx, word_cell)).alias("word_cells_json"),
+    )
+    repaired = repair_predicted_tables(preds)
+    parsed = F.from_json(
+        F.col("table_json"),
+        "struct<num_rows:int,num_cols:int,cells:array<array<string>>>",
+    )
+    return repaired.select(
+        "url",
+        parsed["num_rows"].alias("num_rows"),
+        parsed["num_cols"].alias("num_cols"),
+        F.concat_ws(" ", F.transform(parsed["cells"], lambda x: x[0])).alias("texts"),
+    )
+
+
+def _q_audio_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/A8: mixed WAV / PNG / HTML corpus — audio classifies needs_asr
+    (InputFormat.AUDIO → ASR pipeline in the reference, absent here),
+    raster needs_ocr, html converts. Counts per class are the oracle."""
+    from docling_plus_spark.sources.web_pages import read_documents
+
+    d = read_documents(spark, sf_dir)
+
+    def _body_fn(it):
+        import pandas as pd
+
+        from docling_plus_spark.operators.media_codecs import make_wav
+
+        png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                k = int(doc_id) % 3
+                if k == 0:
+                    out.append(make_wav(int(doc_id)))
+                elif k == 1:
+                    out.append(png)
+                else:
+                    out.append(
+                        ("<html><body><p>%s</p></body></html>" % text).encode()
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": out})
+
+    bodies = d.select("doc_id", "text").mapInPandas(
+        _body_fn, "doc_id long, html binary"
+    )
+    pages = bodies.select(
+        F.concat(F.lit("https://mixed.test/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "html",
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract_pipeline(pages)
+    return out.groupBy("failure_class", "format").agg(F.count("*").alias("n"))
+
+
 def _q_pdf_bytes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-PDF-bytes path: documents → deterministic PDF bytes
     (pdf/synth.py) → stdlib parser (pdf/pdfbytes.py) → layout/assemble →
@@ -1601,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
         "pdf_bytes_extract": _q_pdf_bytes_extract,
+        "table_repair": _q_table_repair,
+        "audio_route": _q_audio_route,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -1925,6 +2028,33 @@ SELECT id_a, rk, id_b, cosine FROM (
 SELECT 'https://synthpdf.test/doc/' || doc_id::varchar AS url,
        'success' AS status, 'pdf' AS format, text
 FROM documents
+""",
+        "table_repair": """
+WITH g AS (
+  SELECT doc_id, (2 + doc_id % 3)::int AS nr, (2 + doc_id % 2)::int AS nc
+  FROM documents
+), cells AS (
+  SELECT doc_id, nr, nc, r, c
+  FROM g, generate_series(0, 4) t1(r), generate_series(0, 2) t2(c)
+  WHERE r < nr AND c < nc
+)
+SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
+       nr AS num_rows, nc AS num_cols,
+       string_agg('d' || doc_id::varchar || 'r' || r::varchar || 'c' || c::varchar,
+                  ' ' ORDER BY r, c) AS texts
+FROM cells GROUP BY 1, 2, 3
+""",
+        "audio_route": """
+WITH rows AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'audio'
+                         WHEN 1 THEN 'image' ELSE 'html' END AS fmt
+  FROM documents
+)
+SELECT CASE fmt WHEN 'audio' THEN 'needs_asr'
+                WHEN 'image' THEN 'needs_ocr' END AS failure_class,
+       fmt AS format, count(*) AS n
+FROM rows GROUP BY 1, 2
 """,
         "gopher_quality": _gopher_oracle(),
         "c4_clean": _c4_oracle(),

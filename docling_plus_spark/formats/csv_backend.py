@@ -10,16 +10,26 @@ golden fixtures (md/itxt/json).
 from __future__ import annotations
 
 import csv
+from functools import lru_cache
 from io import StringIO
 
 from docling_plus_spark.doc.document import DLDocument, TableCellModel, TableData
 from docling_plus_spark.html.backend import binary_hash_of
 
 
+@lru_cache(maxsize=4096)
+def _sniff_dialect(head: str):
+    """csv.Sniffer is ~130 µs per call (it frequency-scans the whole
+    byte range); the result is a pure function of the head line, and
+    corpora repeat head lines heavily — memoize (same dialect object is
+    reused read-only)."""
+    return csv.Sniffer().sniff(head, ",;\t|:")
+
+
 def convert_csv(data: bytes, name: str = "file", filename: str = "file.csv") -> DLDocument:
     content = StringIO(data.decode("utf-8"))
     head = content.readline()
-    dialect = csv.Sniffer().sniff(head, ",;\t|:")
+    dialect = _sniff_dialect(head)
     if dialect.delimiter not in {",", ";", "\t", "|", ":"}:
         raise RuntimeError(
             f"Cannot convert csv with unknown delimiter {dialect.delimiter}."

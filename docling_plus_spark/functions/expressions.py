@@ -103,6 +103,7 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
             .when(path.rlike("(?i)\\.(xlsx|xlsm)$"), F.lit("xlsx"))
             .when(path.rlike("(?i)\\.nxml$"), F.lit("xml_jats"))
             .when(path.rlike("(?i)\\.tar\\.gz$"), F.lit("mets_gbs"))
+            .when(path.rlike("(?i)\\.(wav|mp3|flac|ogg|m4a)$"), F.lit("audio"))
             .otherwise(F.lit("text"))
         )
     # XML DOCTYPE disambiguation (reference: document.py:550-584) — the
@@ -134,8 +135,20 @@ def sniff_format(binary_col: Column, url_col: Column | None = None) -> Column:
         | (magic.startswith("424D")                        # BMP + DIB size
            & F.substring(magic, 29, 2).isin("0C", "28", "6C", "7C"))
     )
+    # audio magics (InputFormat.AUDIO, datamodel/base_models.py:55-72 —
+    # the reference routes these to the ASR pipeline; none exists here,
+    # so rows classify needs_asr, mirroring the needs_ocr posture)
+    is_audio = (
+        (magic.startswith("52494646")                      # RIFF ... WAVE
+         & (F.substring(magic, 17, 8) == "57415645"))
+        | magic.startswith("494433")                       # MP3 with ID3 tag
+        | magic.startswith("664C6143")                     # fLaC
+        | magic.startswith("4F676753")                     # OggS
+        | (F.substring(magic, 9, 8) == "66747970")         # MP4/M4A ftyp
+    )
     return (
-        F.when(is_image, F.lit("image"))
+        F.when(is_audio, F.lit("audio"))
+        .when(is_image, F.lit("image"))
         .when(F.substring(head, 1, 5) == "%pdf-", F.lit("pdf"))
         .when(
             head.startswith("<?xml"),

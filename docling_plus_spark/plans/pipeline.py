@@ -93,6 +93,9 @@ def extract_pipeline(
     reason = (
         F.when(~F.col("valid"), F.lit("invalid_input"))
         .when(F.col("format") == "image", F.lit("needs_ocr"))
+        # AUDIO routes to an ASR pipeline in the reference
+        # (pipeline/asr_pipeline.py); absent here → classified rows
+        .when(F.col("format") == "audio", F.lit("needs_asr"))
         .otherwise(F.concat(F.lit("unsupported_format:"), F.col("format")))
     )
     # single pass, single scan: derived metadata rides through the UDF

@@ -185,6 +185,44 @@ def test_epoch_commit_is_atomic_and_metrics_never_double_count(spark, tmp_path):
     assert summary2["processed"] == 0
 
 
+def test_audio_rows_classified_needs_asr(spark):
+    """InputFormat.AUDIO analog: WAV/MP3/FLAC/OGG/M4A bytes sniff to
+    'audio' and classify needs_asr (the reference routes AUDIO to an
+    ASR pipeline, pipeline/asr_pipeline.py; none exists here) — present
+    in the output, never unsupported_format, never dropped. A RIFF
+    container must still disambiguate WAVE (audio) from WEBP (image)."""
+    from docling_plus_spark.functions.expressions import sniff_format
+    from docling_plus_spark.operators.media_codecs import make_wav
+    from docling_plus_spark.plans import extract_pipeline
+
+    rows = [
+        ("https://x/a.wav", bytearray(make_wav(3))),
+        ("https://x/a.mp3", bytearray(b"ID3\x04\x00\x00" + b"\x00" * 64)),
+        ("https://x/a.flac", bytearray(b"fLaC" + b"\x00" * 64)),
+        ("https://x/a.ogg", bytearray(b"OggS" + b"\x00" * 64)),
+        ("https://x/a.m4a", bytearray(b"\x00\x00\x00\x20ftypM4A " + b"\x00" * 32)),
+        ("https://x/p.webp", bytearray(b"RIFF\x10\x00\x00\x00WEBP" + b"\x00" * 32)),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    sniffed = {
+        r.url: r.fmt
+        for r in df.select(
+            "url", sniff_format(F.col("html"), F.col("url")).alias("fmt")
+        ).collect()
+    }
+    for u, fmt in sniffed.items():
+        if "webp" in u:
+            assert fmt == "image", (u, fmt)
+        else:
+            assert fmt == "audio", (u, fmt)
+
+    out = {r.url: r for r in extract_pipeline(df).collect()}
+    assert len(out) == 6
+    for u, r in out.items():
+        expected = "needs_ocr" if "webp" in u else "needs_asr"
+        assert r.status == "failure" and r.failure_class == expected, u
+
+
 def test_image_rows_classified_needs_ocr(spark):
     """S8: raster content is detected by raw-byte magic (the UTF-8 head
     is NULL for it) and classified needs_ocr — present in the output,

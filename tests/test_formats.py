@@ -369,6 +369,51 @@ def test_mets_gbs_rejects_non_mets():
         convert_mets_gbs(buf.getvalue())
 
 
+def test_docx_embedded_image_payloads():
+    """Raw-media passthrough (VERDICT r2 item 8): every docx picture
+    whose raster bytes exist in the package carries an ImageRef whose
+    pixel dims / mimetype / dpi match the golden EXACTLY; the base64
+    payload is the raw zip media (the goldens' payloads are Pillow
+    re-encodes — different bytes, same pixels — so byte parity of the
+    uri is impossible without Pillow by construction; verified in the
+    backend's parity note). EMF pictures stay payload-free like the
+    goldens."""
+    import base64
+    import json
+    import zipfile
+    from io import BytesIO
+
+    from docling_plus_spark.formats import convert_docx
+
+    for name in ["word_sample", "word_image_anchors", "docx_rich_cells",
+                 "test_emf_docx"]:
+        with open(f"{DOCX_DIR}/{name}.docx", "rb") as f:
+            data = f.read()
+        doc = convert_docx(data, name=name)
+        with open(f"{GOLD_DIR}/{name}.docx.json") as f:
+            gt = json.load(f)
+        gt_pics = gt.get("pictures", [])
+        assert len(doc.pictures) == len(gt_pics), name
+        media = {
+            n: b for n, b in (
+                (n, zipfile.ZipFile(BytesIO(data)).read(n))
+                for n in zipfile.ZipFile(BytesIO(data)).namelist()
+                if n.startswith("word/media/")
+            )
+        }
+        for ours, theirs in zip(doc.pictures, gt_pics):
+            gt_img = theirs.get("image")
+            if gt_img is None:
+                assert ours.image is None, name  # EMF → no payload
+                continue
+            assert ours.image is not None, name
+            assert ours.image["mimetype"] == gt_img["mimetype"]
+            assert ours.image["dpi"] == gt_img["dpi"]
+            assert ours.image["size"] == gt_img["size"]
+            payload = base64.b64decode(ours.image["uri"].split(",", 1)[1])
+            assert payload in media.values()  # raw zip bytes, untouched
+
+
 def test_docx_rejects_non_zip():
     from docling_plus_spark.formats import convert_docx
 

@@ -507,10 +507,17 @@ def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_freq: the MOSS boilerplate rule AND the quadratic-output
+    # guard — the synthetic word-salad corpus shares most 8-grams
+    # corpus-wide, so the unfiltered join's OUTPUT is ~all-pairs
+    # (measured 259 s at sf0.1); ubiquitous fingerprints carry no
+    # dedup signal and are dropped before the join
     from docling_plus_spark.operators.dedup import winnow_candidate_pairs
 
     d = _docs(spark, sf_dir)
-    return winnow_candidate_pairs(d, "doc_id", "text", k=8, window=4)
+    return winnow_candidate_pairs(
+        d, "doc_id", "text", k=8, window=4, max_doc_freq=20
+    )
 
 
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2301,7 +2308,9 @@ def _winnow_oracle() -> str:
 def _winnow_pairs_oracle() -> str:
     from docling_plus_spark.operators.dedup import winnow_candidate_pairs_sql
 
-    return winnow_candidate_pairs_sql("doc_id", "text", k=8, window=4)
+    return winnow_candidate_pairs_sql(
+        "doc_id", "text", k=8, window=4, max_doc_freq=20
+    )
 
 
 def _lsh_keyed_cte() -> str:

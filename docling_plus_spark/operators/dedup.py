@@ -497,11 +497,23 @@ def winnow_candidate_pairs(
     k: int = 8,
     window: int = 4,
     max_bucket: int = 4096,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MOSS-style dedup candidates: documents sharing >= 1 winnowing
     fingerprint, with the shared-fingerprint count as match strength.
     The SIGMOD'03 guarantee makes this a superset of all pairs sharing a
     substring of length >= k+window-1.
+
+    ``max_doc_freq``: drop fingerprints occurring in more than this many
+    documents before the join — the SIGMOD'03 paper's own boilerplate
+    rule (§5: matches appearing in many documents are ignored as
+    uninteresting). This is ALSO the quadratic-output guard: a
+    fingerprint shared by m documents contributes m^2/2 candidate pairs
+    regardless of how the join is tasked, so on a self-similar corpus
+    the *output* explodes even though no single task does. Ubiquitous
+    fingerprints carry no dedup signal; capping document frequency
+    bounds output volume at max_doc_freq^2/2 pairs per fingerprint.
+    None = keep everything (small/benchmark corpora only).
 
     Scale shape: explode fingerprints (narrow), self-join shuffling on
     the fingerprint value, then groupBy(id_a, id_b) count. A fingerprint
@@ -513,6 +525,8 @@ def winnow_candidate_pairs(
     """
     fp = winnow_fingerprints_exploded(df, id_col, text_col, k, window)
     counts = fp.groupBy("fingerprint").agg(F.count("*").alias("_m"))
+    if max_doc_freq is not None:
+        counts = counts.filter(F.col("_m") <= max_doc_freq)
     splits = (F.ceil(F.col("_m") / F.lit(max_bucket))).cast("int").alias("_s")
     p = fp.join(counts.select("fingerprint", splits), "fingerprint").withColumn(
         "_g", F.pmod(F.xxhash64(F.col("id")), F.col("_s")).cast("int")
@@ -599,13 +613,23 @@ def winnow_candidate_pairs_sql(
     k: int = 8,
     window: int = 4,
     table: str = "documents",
+    max_doc_freq: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`winnow_candidate_pairs`."""
     exploded = winnow_fingerprints_exploded_sql(id_expr, text_expr, k, window, table)
+    df_filter = ""
+    if max_doc_freq is not None:
+        df_filter = f""",
+keep AS (
+  SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= {max_doc_freq}
+)"""
+        join_src = "fp a JOIN keep USING (fingerprint) JOIN fp b ON a.fingerprint = b.fingerprint AND a.id < b.id"
+    else:
+        join_src = "fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.id < b.id"
     return f"""
-WITH fp AS ({exploded})
+WITH fp AS ({exploded}){df_filter}
 SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fingerprints
-FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.id < b.id
+FROM {join_src}
 GROUP BY 1, 2
 """
 

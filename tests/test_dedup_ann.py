@@ -316,6 +316,11 @@ def test_winnow_candidate_pairs_mega_bucket(spark):
     assert len(out) == n * (n - 1) // 2
     counts = {r.shared_fingerprints for r in out}
     assert len(counts) == 1  # identical docs → identical overlap count
+    # the MOSS boilerplate rule: fingerprints in >max_doc_freq docs are
+    # uninteresting — on an all-identical corpus that drops everything
+    assert winnow_candidate_pairs(df, max_doc_freq=10).count() == 0
+    # and a threshold above the corpus size keeps all pairs
+    assert winnow_candidate_pairs(df, max_doc_freq=n).count() == len(out)
 
 
 def test_gopher_signals_rules(spark):

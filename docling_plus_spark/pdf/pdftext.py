@@ -144,25 +144,55 @@ class _TextExtractor:
             nonlocal tm
             if font is None or len(self.glyphs) > self.MAX_GLYPHS:
                 return
+            # Tm is only translated between glyphs (advances), so
+            # mc = Tm·CTM is loop-invariant: glyph-space coords map via
+            # x' = xoff + x·tfs·th, y' = ts + y·tfs, then mc. The
+            # overwhelmingly common mc (no rotation: b = c = 0) gets a
+            # multiply-add fast path — this loop is the hot path of the
+            # whole pdf-bytes pipeline (~40% of convert time before).
+            mc = _mat_mul(tm, ctm)
+            a, b, c, d, e, f = mc
+            fast = b == 0.0 and c == 0.0
+            asc = font.ascent * tfs + ts
+            dsc = font.descent * tfs + ts
+            sx = tfs * th
+            xoff = 0.0
+            glyphs_out = self.glyphs
             for g in font.decode(raw):
                 w0 = g.width / 1000.0
-                trm = _mat_mul((tfs * th, 0.0, 0.0, tfs, 0.0, ts), _mat_mul(tm, ctm))
                 adv = (w0 * tfs + tc + (tw if g.is_space and not font.two_byte else 0.0)) * th
                 if g.text or g.is_space:
-                    x0, y0 = _apply(trm, 0.0, font.descent)
-                    x1, y1 = _apply(trm, w0, font.ascent)
-                    x2, y2 = _apply(trm, 0.0, font.ascent)
-                    x3, y3 = _apply(trm, w0, font.descent)
-                    bx0, by0 = _apply(trm, 0.0, 0.0)
-                    size = abs(trm[3]) or abs(trm[1]) or tfs
                     is_space = g.is_space or g.text.isspace()
-                    self.glyphs.append(_GlyphQuad(
-                        " " if is_space else g.text,
-                        min(x0, x1, x2, x3), min(y0, y1, y2, y3),
-                        max(x0, x1, x2, x3), max(y0, y1, y2, y3),
-                        size, by0, is_space,
-                    ))
-                tm = _mat_mul((1.0, 0.0, 0.0, 1.0, adv, 0.0), tm)
+                    xl = xoff
+                    xr = xoff + w0 * sx
+                    if fast:
+                        dx0 = a * xl + e
+                        dx1 = a * xr + e
+                        dy0 = d * dsc + f
+                        dy1 = d * asc + f
+                        baseline = d * ts + f
+                        size = abs(d * tfs)
+                        glyphs_out.append(_GlyphQuad(
+                            " " if is_space else g.text,
+                            min(dx0, dx1), min(dy0, dy1),
+                            max(dx0, dx1), max(dy0, dy1),
+                            size or tfs, baseline, is_space,
+                        ))
+                    else:
+                        pts = (
+                            _apply(mc, xl, dsc), _apply(mc, xr, asc),
+                            _apply(mc, xl, asc), _apply(mc, xr, dsc),
+                        )
+                        xs = [p[0] for p in pts]
+                        ys = [p[1] for p in pts]
+                        size = abs(d * tfs) or abs(b * tfs) or tfs
+                        glyphs_out.append(_GlyphQuad(
+                            " " if is_space else g.text,
+                            min(xs), min(ys), max(xs), max(ys),
+                            size, _apply(mc, xl, ts)[1], is_space,
+                        ))
+                xoff += adv
+            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, xoff, 0.0), tm)
 
         for kind, tok in _content_tokens(content):
             if kind == "obj":
@@ -290,12 +320,23 @@ class _Word:
     __slots__ = ("text", "l", "b", "r", "t", "size", "is_space")
 
     def __init__(self, glyphs: list[_GlyphQuad]):
-        self.text = "".join(g.text for g in glyphs)
-        self.l = min(g.l for g in glyphs)
-        self.b = min(g.b for g in glyphs)
-        self.r = max(g.r for g in glyphs)
-        self.t = max(g.t for g in glyphs)
-        self.size = max(g.size for g in glyphs)
+        g0 = glyphs[0]
+        l, b, r, t, size = g0.l, g0.b, g0.r, g0.t, g0.size
+        parts = [g0.text]
+        for g in glyphs[1:]:
+            parts.append(g.text)
+            if g.l < l:
+                l = g.l
+            if g.b < b:
+                b = g.b
+            if g.r > r:
+                r = g.r
+            if g.t > t:
+                t = g.t
+            if g.size > size:
+                size = g.size
+        self.text = "".join(parts)
+        self.l, self.b, self.r, self.t, self.size = l, b, r, t, size
         self.is_space = not self.text.strip()
 
 
@@ -305,13 +346,14 @@ def _glyphs_to_words(glyphs: list[_GlyphQuad]) -> list[_Word]:
     motion."""
     words: list[_Word] = []
     cur: list[_GlyphQuad] = []
+    cur_r = 0.0  # running right edge of the current word
     mode: bool | None = None
     prev: _GlyphQuad | None = None
     for g in glyphs:
         brk = g.is_space is not mode
         if prev is not None and cur and not brk:
-            gap = g.l - max(x.r for x in cur[-3:])
-            em = max(g.size, 1e-6)
+            gap = g.l - cur_r
+            em = g.size if g.size > 1e-6 else 1e-6
             if abs(g.baseline - prev.baseline) > 0.5 * max(g.size, prev.size, 1e-6):
                 brk = True
             elif gap > WORD_GAP * em or gap < -2.0 * em:
@@ -321,6 +363,7 @@ def _glyphs_to_words(glyphs: list[_GlyphQuad]) -> list[_Word]:
             cur = []
         mode = g.is_space
         cur.append(g)
+        cur_r = g.r if len(cur) == 1 else max(cur_r, g.r)
         prev = g
     if cur:
         words.append(_Word(cur))
@@ -374,9 +417,10 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
     for row in sorted(rows, key=lambda r: -r["t"]):
         rw = sorted(row["words"], key=lambda w: w.l)
         seg: list[_Word] = [rw[0]]
+        seg_r = rw[0].r
         seg_dir = _direction(rw[0].text)
         for w in rw[1:]:
-            gap = w.l - max(x.r for x in seg)
+            gap = w.l - seg_r
             w_dir = _direction(w.text)
             # bidi boundary: a strong-direction change starts a new
             # textline cell (RTL pages interleave Arabic/Hebrew runs
@@ -389,9 +433,12 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
             if gap > CELL_GAP * max(w.size, 1e-6) or bidi or wide_space:
                 emit(seg)
                 seg = [w]
+                seg_r = w.r
                 seg_dir = w_dir
             else:
                 seg.append(w)
+                if w.r > seg_r:
+                    seg_r = w.r
                 if w_dir != 0:
                     seg_dir = w_dir
         emit(seg)

@@ -154,6 +154,40 @@ def test_partitioned_output_prunes_partitions(spark, tmp_path):
     assert back.count() == n_en_src
 
 
+def test_winnow_pairs_no_cartesian_and_filter_before_join(spark):
+    """The winnow candidate join must shuffle on the fingerprint value
+    (hash join, no cartesian), and the max_doc_freq boilerplate filter
+    must land on the counts side BEFORE the pair join — that filter is
+    the quadratic-output guard."""
+    from docling_plus_spark.operators.dedup import winnow_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(winnow_candidate_pairs(docs, max_doc_freq=20))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # the df cap appears as a post-aggregation filter on the count
+    assert "(_m" in plan or "_m#" in plan
+
+
+def test_pdf_bytes_extract_no_shuffle(spark):
+    """The pdf-bytes path is document == row: synth-write → parse →
+    layout → serialize is one narrow mapInPandas chain; any exchange in
+    this plan would be a 100-TB-scale regression (the only exchange
+    allowed is the input repartition of the unsplittable test parquet)."""
+    from docling_plus_spark.plans import extract_pipeline
+    from docling_plus_spark.sources.web_pages import synth_pdf_pages_from_documents
+
+    import re
+
+    out = extract_pipeline(synth_pdf_pages_from_documents(spark, SF))
+    plan = _plan(out.select("url", "status", "text"))
+    # formatted explain lists each node once in the numbered detail
+    # section; read_split repartitions the single-row-group input once
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
 def test_asof_join_single_shuffle(spark):
     """The as-of join must cost one exchange per side (hash on the
     key), never a range cross-product."""

@@ -520,6 +520,15 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.dedup import winnow_dedup_keep
+
+    d = _docs(spark, sf_dir)
+    return winnow_dedup_keep(
+        d, "doc_id", "text", k=8, window=4, min_shared=2, max_doc_freq=20
+    )
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.quality import gopher_signals
 
@@ -1708,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new/changed this round (never driver-verified) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
+        "winnow_dedup": _q_winnow_dedup,
         "pdf_bytes_extract": _q_pdf_bytes_extract,
         "table_repair": _q_table_repair,
         "audio_route": _q_audio_route,
@@ -2031,6 +2041,7 @@ SELECT id_a, rk, id_b, cosine FROM (
         "ann_topk_ivf": _ann_ivf_oracle(),
         "winnow_fingerprint": _winnow_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
+        "winnow_dedup": _winnow_dedup_oracle(),
         "pdf_bytes_extract": """
 SELECT 'https://synthpdf.test/doc/' || doc_id::varchar AS url,
        'success' AS status, 'pdf' AS format, text
@@ -2310,6 +2321,14 @@ def _winnow_pairs_oracle() -> str:
 
     return winnow_candidate_pairs_sql(
         "doc_id", "text", k=8, window=4, max_doc_freq=20
+    )
+
+
+def _winnow_dedup_oracle() -> str:
+    from docling_plus_spark.operators.dedup import winnow_dedup_keep_sql
+
+    return winnow_dedup_keep_sql(
+        "doc_id", "text", k=8, window=4, min_shared=2, max_doc_freq=20
     )
 
 

@@ -552,6 +552,55 @@ def winnow_candidate_pairs(
     )
 
 
+def winnow_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Greedy MOSS dedup: ids that survive after dropping every document
+    with >= ``min_shared`` rare fingerprints in common with a lower id —
+    the same keep-lowest-id policy as :func:`minhash_dedup_keep`, so the
+    two schemes are drop-in alternatives."""
+    pairs = winnow_candidate_pairs(
+        df, id_col, text_col, k, window, max_doc_freq=max_doc_freq
+    )
+    dropped = (
+        pairs.filter(F.col("shared_fingerprints") >= min_shared)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(dropped, "id", "left_anti").select(F.col("id").alias("keep_id"))
+
+
+def winnow_dedup_keep_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`winnow_dedup_keep`."""
+    pairs = winnow_candidate_pairs_sql(
+        id_expr, text_expr, k, window, table, max_doc_freq
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+dropped AS (
+  SELECT DISTINCT id_b AS id FROM pairs WHERE shared_fingerprints >= {min_shared}
+)
+SELECT DISTINCT d.{id_expr} AS keep_id
+FROM {table} d LEFT JOIN dropped ON d.{id_expr} = dropped.id
+WHERE dropped.id IS NULL
+"""
+
+
 def winnow_fingerprints_sql(
     id_expr: str = "doc_id",
     text_expr: str = "text",

@@ -323,6 +323,24 @@ def test_winnow_candidate_pairs_mega_bucket(spark):
     assert winnow_candidate_pairs(df, max_doc_freq=n).count() == len(out)
 
 
+def test_winnow_dedup_keep_policy(spark):
+    """Keep-lowest-id: of two near-identical docs the lower id
+    survives; the disjoint doc always survives."""
+    from docling_plus_spark.operators.dedup import winnow_dedup_keep
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha tail"),
+            (2, shared + " beta tail"),
+            (3, "zzzz qqqq vvvv kkkk xxxx wwww yyyy uuuu"),
+        ],
+        "doc_id long, text string",
+    )
+    keep = {r.keep_id for r in winnow_dedup_keep(df, min_shared=2).collect()}
+    assert keep == {1, 3}
+
+
 def test_gopher_signals_rules(spark):
     """Hand-built documents exercising each Gopher rule branch."""
     from docling_plus_spark.operators.quality import gopher_signals

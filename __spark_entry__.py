@@ -520,6 +520,18 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+def _q_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.textstats import char_bigram_logprob
+
+    return char_bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.dedup import winnow_dedup_keep
 
@@ -1719,6 +1731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup": _q_winnow_dedup,
         "pdf_bytes_extract": _q_pdf_bytes_extract,
+        "tfidf_topk": _q_tfidf_topk,
+        "char_lm_score": _q_char_lm_score,
         "table_repair": _q_table_repair,
         "audio_route": _q_audio_route,
         # -- round-2 additions that fell outside the r2 window --
@@ -2042,6 +2056,8 @@ SELECT id_a, rk, id_b, cosine FROM (
         "winnow_fingerprint": _winnow_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "winnow_dedup": _winnow_dedup_oracle(),
+        "tfidf_topk": _tfidf_oracle(),
+        "char_lm_score": _char_lm_oracle(),
         "pdf_bytes_extract": """
 SELECT 'https://synthpdf.test/doc/' || doc_id::varchar AS url,
        'success' AS status, 'pdf' AS format, text
@@ -2322,6 +2338,18 @@ def _winnow_pairs_oracle() -> str:
     return winnow_candidate_pairs_sql(
         "doc_id", "text", k=8, window=4, max_doc_freq=20
     )
+
+
+def _tfidf_oracle() -> str:
+    from docling_plus_spark.operators.textstats import tfidf_topk_sql
+
+    return tfidf_topk_sql("doc_id", "text", k=3)
+
+
+def _char_lm_oracle() -> str:
+    from docling_plus_spark.operators.textstats import char_bigram_logprob_sql
+
+    return char_bigram_logprob_sql("doc_id", "text")
 
 
 def _winnow_dedup_oracle() -> str:

@@ -1,0 +1,176 @@
+"""Corpus-level text statistics: TF-IDF term ranking and character
+n-gram language-model scoring.
+
+Training-data-pipeline operators beyond the reference's own surface
+(the reference converts documents; a 100 TB curation pipeline also
+ranks and scores them). Both are pure DataFrame plans — explode,
+aggregate, join, window — with exact DuckDB twins, and both follow the
+two-level aggregation discipline: per-document statistics are computed
+map-side (explode + partial agg) before anything joins a corpus-level
+table, and the corpus-level tables (document frequency, character
+counts) are tiny relative to the corpus, so their joins broadcast.
+
+Scale notes (100 TB):
+* tf: one shuffle on (doc_id, term) — unavoidable and key-balanced.
+* df/idf: the vocabulary table is ~10^6-10^8 rows (Zipf), broadcast-
+  or shuffle-joinable by term; N (corpus size) is a 1-row broadcast.
+* char model: the model table is ≤ a few thousand rows — broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _terms(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text_col), TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF (natural-log IDF
+    ``ln(N/df)``, raw term counts); ties broken by term text so the
+    output is total-order deterministic."""
+    terms = df.select(
+        F.col(id_col).alias("id"), F.explode(_terms(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "rk", "term", "tfidf")
+    )
+
+
+def tfidf_topk_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 3,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`tfidf_topk`."""
+    return f"""
+WITH terms AS (
+  SELECT {id_expr} AS id, t.term
+  FROM {table},
+       unnest(list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT}'),
+                          x -> x <> '')) AS t(term)
+),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(DISTINCT {id_expr}) AS n FROM {table}),
+scored AS (
+  SELECT tf.id, tf.term,
+         round(tf.tf * ln(n.n::double / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT id, term, tfidf,
+         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT id, rk, term, tfidf FROM ranked WHERE rk <= {k}
+"""
+
+
+def char_bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean character-bigram negative log-likelihood under
+    a model fitted on the corpus itself (add-one smoothing over the
+    observed unigram vocabulary) — the KenLM-perplexity-style quality
+    signal used by CCNet-class pipelines, reduced to its n-gram core.
+    Lower = more typical of the corpus; gibberish scores high.
+
+    Model tables (bigram counts, unigram counts) are corpus-level
+    aggregates, tiny under Zipf — broadcast back onto the exploded
+    bigram stream; two shuffles total (both on the n-gram key).
+    """
+    s = F.lower(F.col(text_col))
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
+    n = F.size(chars)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
+    )).otherwise(F.array())
+    docs = df.select(F.col(id_col).alias("id"), bigrams.alias("bg"))
+    exploded = docs.select("id", F.explode("bg").alias("bg"))
+    bg_counts = exploded.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    uni_counts = (
+        exploded.select(F.substring("bg", 1, 1).alias("u"))
+        .groupBy("u").agg(F.count("*").alias("c_u"))
+    )
+    vocab = uni_counts.select(F.countDistinct("u").alias("v"))
+    scored = (
+        exploded.join(F.broadcast(bg_counts), "bg")
+        .withColumn("u", F.substring("bg", 1, 1))
+        .join(F.broadcast(uni_counts), "u")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log((F.col("c_bg") + 1) / (F.col("c_u") + F.col("v"))),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.avg("nll"), 6).alias("mean_nll"),
+             F.count("*").alias("n_bigrams"))
+    )
+
+
+def char_bigram_logprob_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`char_bigram_logprob`."""
+    return f"""
+WITH docs AS (
+  SELECT {id_expr} AS id, lower({text_expr}) AS s FROM {table}
+),
+bg AS (
+  SELECT id, substr(s, i, 2) AS bg
+  FROM docs, unnest(range(1, length(s)::int)) AS t(i)
+  WHERE length(s) >= 2
+),
+bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY 1),
+unic AS (SELECT substr(bg, 1, 1) AS u, count(*) AS c_u FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT u) AS v FROM unic)
+SELECT bg.id,
+       round(avg(-ln((bgc.c_bg + 1)::double / (unic.c_u + v.v))), 6) AS mean_nll,
+       count(*) AS n_bigrams
+FROM bg JOIN bgc USING (bg)
+JOIN unic ON substr(bg.bg, 1, 1) = unic.u
+CROSS JOIN v
+GROUP BY 1
+"""

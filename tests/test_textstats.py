@@ -1,0 +1,87 @@
+"""TF-IDF ranking + char-bigram LM scoring (operators/textstats.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_plus_spark.plans import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_tfidf_ranks_discriminative_terms(spark):
+    from docling_plus_spark.operators.textstats import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark common"),
+            (2, "duck duck common"),
+            (3, "goose common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id, r.rk): (r.term, r.tfidf) for r in tfidf_topk(df, k=2).collect()}
+    # 'common' appears in all 3 docs -> idf = ln(1) = 0; unique terms win
+    assert out[(1, 1)][0] == "spark"
+    assert out[(2, 1)][0] == "duck"
+    assert out[(3, 1)][0] == "goose"
+    assert out[(1, 1)][1] == pytest.approx(3 * math.log(3), abs=1e-6)
+    # rank 2 is the zero-scoring ubiquitous term
+    assert out[(1, 2)] == ("common", 0.0)
+
+
+def test_tfidf_deterministic_tie_break(spark):
+    from docling_plus_spark.operators.textstats import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    out = {(r.id, r.rk): r.term for r in tfidf_topk(df, k=2).collect()}
+    # equal scores -> lexicographic term order
+    assert out[(1, 1)] == "alpha" and out[(1, 2)] == "beta"
+    assert out[(2, 1)] == "delta" and out[(2, 2)] == "gamma"
+
+
+def test_char_lm_flags_gibberish(spark):
+    from docling_plus_spark.operators.textstats import char_bigram_logprob
+
+    normal = "the quick brown fox jumps over the lazy dog and runs home"
+    rows = [(i, normal) for i in range(8)] + [(99, "zq xj qv kz jx vq zx qj")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.mean_nll for r in char_bigram_logprob(df).collect()}
+    # the gibberish doc is far less likely under the corpus model
+    assert out[99] > out[0] + 0.5
+    assert all(out[i] == out[0] for i in range(1, 8))  # identical docs, identical score
+
+
+def test_char_lm_short_docs(spark):
+    from docling_plus_spark.operators.textstats import char_bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "a"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.n_bigrams for r in char_bigram_logprob(df).collect()}
+    assert out == {1: 1}  # <2 chars -> no bigrams -> no row (SQL twin matches)
+
+
+def test_model_joins_broadcast(spark):
+    """The corpus-level model tables must broadcast — a shuffle join
+    against the exploded bigram stream would add two full-data shuffles
+    at 100 TB."""
+    from docling_plus_spark.operators.textstats import char_bigram_logprob
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    plan = char_bigram_logprob(df)._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 2 or plan.count("BroadcastNestedLoopJoin") >= 1

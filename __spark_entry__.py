@@ -532,6 +532,32 @@ def _q_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_repetition_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.curation import repetition_strip
+
+    return repetition_strip(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.curation import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.curation import bloom_dedup
+
+    return bloom_dedup(_docs(spark, sf_dir), F.col("doc_id") % 2 == 0)
+
+
+def _q_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_plus_spark.operators.curation import distribution_match
+
+    return distribution_match(
+        _docs(spark, sf_dir), {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    )
+
+
 def _q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.dedup import winnow_dedup_keep
 
@@ -1733,6 +1759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_bytes_extract": _q_pdf_bytes_extract,
         "tfidf_topk": _q_tfidf_topk,
         "char_lm_score": _q_char_lm_score,
+        "repetition_strip": _q_repetition_strip,
+        "dsir_weights": _q_dsir_weights,
+        "bloom_dedup": _q_bloom_dedup,
+        "distribution_match": _q_distribution_match,
         "table_repair": _q_table_repair,
         "audio_route": _q_audio_route,
         # -- round-2 additions that fell outside the r2 window --
@@ -2058,6 +2088,10 @@ SELECT id_a, rk, id_b, cosine FROM (
         "winnow_dedup": _winnow_dedup_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "char_lm_score": _char_lm_oracle(),
+        "repetition_strip": _curation_oracle("repetition_strip"),
+        "dsir_weights": _curation_oracle("dsir_weights"),
+        "bloom_dedup": _curation_oracle("bloom_dedup"),
+        "distribution_match": _curation_oracle("distribution_match"),
         "pdf_bytes_extract": """
 SELECT 'https://synthpdf.test/doc/' || doc_id::varchar AS url,
        'success' AS status, 'pdf' AS format, text
@@ -2344,6 +2378,22 @@ def _tfidf_oracle() -> str:
     from docling_plus_spark.operators.textstats import tfidf_topk_sql
 
     return tfidf_topk_sql("doc_id", "text", k=3)
+
+
+def _curation_oracle(name: str) -> str:
+    from docling_plus_spark.operators import curation as c
+
+    if name == "repetition_strip":
+        return c.repetition_strip_sql("doc_id", "text")
+    if name == "dsir_weights":
+        return c.dsir_weights_sql("lang = 'en'", "doc_id", "text")
+    if name == "bloom_dedup":
+        return c.bloom_dedup_sql("doc_id % 2 = 0", "doc_id", "text")
+    if name == "distribution_match":
+        return c.distribution_match_sql(
+            {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+        )
+    raise KeyError(name)
 
 
 def _char_lm_oracle() -> str:

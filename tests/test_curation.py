@@ -1,0 +1,111 @@
+"""Curation operators: repetition strip, DSIR, Bloom dedup, distribution match."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_plus_spark.plans import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_repetition_strip_keeps_first_and_blanks(spark):
+    from docling_plus_spark.operators.curation import repetition_strip
+
+    text = "nav bar\nbody one\n\nnav bar\nbody two\n\nnav bar"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_strip(df).collect()[0]
+    assert row.clean_text == "nav bar\nbody one\n\nbody two\n"
+    assert row.n_lines == 7
+    assert row.n_removed == 2  # two repeated 'nav bar' lines
+
+
+def test_repetition_strip_noop_and_empty(spark):
+    from docling_plus_spark.operators.curation import repetition_strip
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in repetition_strip(df).collect()}
+    assert out[1].clean_text == "a\nb\nc" and out[1].n_removed == 0
+    assert out[2].clean_text == "" and out[2].n_removed == 0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from docling_plus_spark.operators.curation import dsir_weights
+
+    target = "the cat sat on the mat and the dog ran"
+    offtgt = "zzz qqq kkk vvv xxx www yyy"
+    rows = (
+        [(i, target, "en") for i in range(6)]
+        + [(10 + i, offtgt, "xx") for i in range(6)]
+        + [(100, "the cat ran", "xx"), (101, "qqq kkk zzz", "xx")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.id: r.weight
+        for r in dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    # held-out target-like doc scores higher than the off-target one
+    assert out[100] > out[101]
+    assert out[0] > 0 > out[10]
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    from docling_plus_spark.operators.curation import bloom_dedup
+
+    rows = [(i, f"unique document number {i}") for i in range(20)]
+    rows += [(100, "unique document number 3"), (101, "fresh new text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r.maybe_dup
+        for r in bloom_dedup(df, F.col("doc_id") < 100).collect()
+    }
+    assert out[100] is True  # exact text seen on build side -> always flagged
+    assert out[101] is False  # 2^18 bits, 80 set: fp odds ~ (80/2^18)^4
+
+
+def test_distribution_match_hits_target_props(spark):
+    from docling_plus_spark.operators.curation import distribution_match
+
+    rows = [(i, "en") for i in range(3000)] + [(10000 + i, "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = distribution_match(df, {"en": 0.5, "fr": 0.5})
+    counts = {r.stratum: r.cnt for r in out.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()}
+    # fr is binding (1000 docs for a 50% share) -> kept ~whole; en thinned to ~1000
+    assert counts["fr"] == 1000
+    assert abs(counts["en"] - 1000) < 120  # hash-Bernoulli, ~3.5 sigma
+
+
+def test_distribution_match_drops_unlisted_strata(spark):
+    from docling_plus_spark.operators.curation import distribution_match
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx")], "doc_id long, lang string"
+    )
+    out = distribution_match(df, {"en": 1.0}).collect()
+    assert {r.stratum for r in out} == {"en"}
+
+
+def test_model_tables_broadcast(spark):
+    """DSIR's histogram and Bloom's bit set must broadcast back onto the
+    corpus stream — shuffle joins there would re-shuffle the full
+    exploded feature table at 100 TB."""
+    from docling_plus_spark.operators.curation import bloom_dedup, dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bye", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    for plan_df in (
+        dsir_weights(df, F.col("lang") == "en"),
+        bloom_dedup(df, F.col("doc_id") == 1),
+    ):
+        plan = plan_df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "BroadcastHashJoin" in plan

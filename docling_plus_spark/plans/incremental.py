@@ -32,6 +32,7 @@ def run_epoch(
     metrics: SnapshotTable,
     num_partitions: Optional[int] = None,
     limit: Optional[int] = None,
+    include: tuple = (),
 ) -> dict:
     """Process all (or ``limit``) not-yet-committed pages as one epoch.
 
@@ -53,7 +54,13 @@ def run_epoch(
         if n_todo == 0:
             return {"epoch": results.last_epoch, "processed": 0, "remaining_before": 0}
         epoch = results.last_epoch + 1
-        out = extract_pipeline(todo, num_partitions=num_partitions).cache()
+        out = extract_pipeline(
+            todo,
+            num_partitions=num_partitions,
+            include_json="json" in include,
+            include_doctags="doctags" in include,
+            include_html="html" in include,
+        ).cache()
         try:
             processed = out.count()
             # stage both, then commit metrics, then commit results: the

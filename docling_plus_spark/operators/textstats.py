@@ -112,39 +112,51 @@ def char_bigram_logprob(
     signal used by CCNet-class pipelines, reduced to its n-gram core.
     Lower = more typical of the corpus; gibberish scores high.
 
-    Model tables (bigram counts, unigram counts) are corpus-level
-    aggregates, tiny under Zipf — broadcast back onto the exploded
-    bigram stream; two shuffles total (both on the n-gram key).
+    Shape (this is what holds at 100 TB): the raw bigram stream is
+    exploded ONCE and immediately reduced to per-document bigram counts
+    (map-side partial agg makes the shuffle carry distinct-per-doc keys,
+    not raw characters). Every corpus-level model table — bigram counts,
+    unigram counts, vocabulary size, and the final per-bigram NLL — is
+    derived from that reduced table, so the model is a single tiny
+    broadcast (≤ |charset|² rows under Zipf) with the smoothed NLL
+    precomputed per bigram; the scoring pass is one broadcast join plus
+    a weighted average. Two key-shuffles total, and the heavy explode
+    lineage is shared between model and scoring via exchange reuse.
     """
     s = F.lower(F.col(text_col))
-    chars = F.filter(F.split(s, ""), lambda c: c != "")
-    n = F.size(chars)
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
-    )).otherwise(F.array())
-    docs = df.select(F.col(id_col).alias("id"), bigrams.alias("bg"))
-    exploded = docs.select("id", F.explode("bg").alias("bg"))
-    bg_counts = exploded.groupBy("bg").agg(F.count("*").alias("c_bg"))
-    uni_counts = (
-        exploded.select(F.substring("bg", 1, 1).alias("u"))
-        .groupBy("u").agg(F.count("*").alias("c_u"))
+    docs = (
+        df.select(F.col(id_col).alias("id"), s.alias("s"))
+        .where(F.length("s") >= 2)
     )
-    vocab = uni_counts.select(F.countDistinct("u").alias("v"))
-    scored = (
-        exploded.join(F.broadcast(bg_counts), "bg")
-        .withColumn("u", F.substring("bg", 1, 1))
-        .join(F.broadcast(uni_counts), "u")
-        .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "nll",
-            -F.log((F.col("c_bg") + 1) / (F.col("c_u") + F.col("v"))),
+    # one explode of character positions; substr(i, 2) builds the bigram
+    # in codegen without materializing a per-char array
+    bg = docs.select(
+        "id",
+        "s",
+        F.explode(F.sequence(F.lit(1), F.length("s") - 1)).alias("i"),
+    ).select("id", F.col("s").substr(F.col("i"), F.lit(2)).alias("bg"))
+    pair_counts = bg.groupBy("id", "bg").agg(F.count("*").alias("c"))
+    bg_counts = pair_counts.groupBy("bg").agg(F.sum("c").alias("c_bg"))
+    uni_counts = bg_counts.groupBy(
+        F.substring("bg", 1, 1).alias("u")
+    ).agg(F.sum("c_bg").alias("c_u"))
+    vocab = uni_counts.select(F.count("*").alias("v"))
+    model = (
+        bg_counts.withColumn("u", F.substring("bg", 1, 1))
+        .join(uni_counts, "u")
+        .crossJoin(vocab)
+        .select(
+            "bg",
+            (-F.log((F.col("c_bg") + 1) / (F.col("c_u") + F.col("v")))).alias("nll"),
         )
     )
     return (
-        scored.groupBy("id")
-        .agg(F.round(F.avg("nll"), 6).alias("mean_nll"),
-             F.count("*").alias("n_bigrams"))
+        pair_counts.join(F.broadcast(model), "bg")
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.col("c") * F.col("nll")) / F.sum("c"), 6).alias("mean_nll"),
+            F.sum("c").alias("n_bigrams"),
+        )
     )
 
 

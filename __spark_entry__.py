@@ -1704,6 +1704,91 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-side link extraction (operators/links.py): synth pages with
+    formula-driven ``<a href>`` tags (one root-relative double-quoted,
+    one absolute single-quoted) → regexp extraction + absolute URL
+    resolution, all JVM column expressions."""
+    from docling_plus_spark.operators.links import extract_outlinks
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    i = F.col("doc_id")
+    dst1 = F.pmod(i * 7 + 13, F.lit(n)).cast("string")
+    dst2 = F.pmod(i * 7 + 26, F.lit(n)).cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), i.cast("string"),
+        F.lit('</h1><p>x</p><a href="/doc/'), dst1,
+        F.lit("\">a</a><a href='https://ext.test/doc/"), dst2,
+        F.lit("'>b</a></body></html>"),
+    ).cast("binary")
+    pages = d.select(
+        F.concat(F.lit("https://synth.test/doc/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_outlinks(pages)
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over a formula-driven synthetic link graph
+    (operators/links.py): 6 message-passing rounds, out-degree folded
+    into the edge list pre-loop, localCheckpoint-truncated lineage.
+    Oracle unrolls the same 6 rounds as a DuckDB CTE chain."""
+    from docling_plus_spark.operators.links import pagerank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    e = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), F.pmod(F.col("doc_id"), F.lit(3)) + 1)
+            ).alias("j"),
+        )
+        .select(
+            "src",
+            F.pmod(F.col("src") * 7 + F.col("j") * 13, F.lit(n)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    r = pagerank(e, iterations=6)
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
+_PAGERANK_EDGE_CTE = """e AS (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src,
+           (doc_id*7 + j*13) % (SELECT count(*) FROM documents) AS dst
+    FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)
+  ) WHERE src != dst
+)"""
+
+
+def _pagerank_oracle(iters: int = 6) -> str:
+    parts = [
+        _PAGERANK_EDGE_CTE,
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
+        "nn AS (SELECT count(*)::double AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""c{k} AS (
+  SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+  FROM e JOIN r{k-1} r ON e.src = r.node JOIN deg d ON d.src = e.src
+  GROUP BY 1)""")
+        parts.append(f"""r{k} AS (
+  SELECT nodes.node,
+         (1.0::double - 0.85::double)/(SELECT n FROM nn)
+         + 0.85::double * coalesce(c.s, 0.0) AS rank
+  FROM nodes LEFT JOIN c{k} c ON c.node = nodes.node)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.pdf.pipeline import PAGES_SCHEMA, pdf_pipeline
 
@@ -1786,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_repair": _q_table_repair,
         "audio_route": _q_audio_route,
         "warc_extract": _q_warc_extract,
+        "outlinks": _q_outlinks,
+        "pagerank": _q_pagerank,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2152,6 +2239,17 @@ SELECT url, 200 AS http_status, 'text/html' AS mime,
        octet_length(html)::int AS n_bytes
 FROM web_pages
 """,
+        "outlinks": """
+WITH n AS (SELECT count(*) AS n FROM documents)
+SELECT 'https://synth.test/doc/' || doc_id::varchar AS src,
+       'https://synth.test/doc/' || ((doc_id*7+13) % (SELECT n FROM n))::varchar AS dst
+FROM documents
+UNION ALL
+SELECT 'https://synth.test/doc/' || doc_id::varchar,
+       'https://ext.test/doc/' || ((doc_id*7+26) % (SELECT n FROM n))::varchar
+FROM documents
+""",
+        "pagerank": _pagerank_oracle(6),
         "gopher_quality": _gopher_oracle(),
         "c4_clean": _c4_oracle(),
         "pii_redact": _pii_oracle(),

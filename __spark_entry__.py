@@ -1704,6 +1704,23 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sink (sources/warc.py to_wet): extraction output → per-doc
+    WARC ``conversion`` record bytes, the format Common Crawl publishes
+    extracted text in. Oracle rebuilds the exact record bytes from
+    expected_text in SQL and compares md5 — a byte-level contract on
+    header + payload."""
+    from docling_plus_spark.sources.warc import to_wet
+
+    out = extract_pipeline(synth_pages_from_documents(spark, sf_dir))
+    wet = to_wet(out)
+    return wet.select(
+        "url",
+        F.md5("wet").alias("wet_md5"),
+        F.length("wet").cast("int").alias("n_bytes"),
+    )
+
+
 def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT-side link extraction (operators/links.py): synth pages with
     formula-driven ``<a href>`` tags (one root-relative double-quoted,
@@ -1873,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,
         "outlinks": _q_outlinks,
         "pagerank": _q_pagerank,
+        "wet_sink": _q_wet_sink,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2250,6 +2268,28 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar,
 FROM documents
 """,
         "pagerank": _pagerank_oracle(6),
+        "wet_sink": f"""
+WITH {SYNTH_PAGE_ORACLE_CTE},
+wet AS (
+  SELECT url,
+         'WARC/1.0' || chr(13)||chr(10)
+         || 'WARC-Type: conversion' || chr(13)||chr(10)
+         || 'WARC-Target-URI: ' || url || chr(13)||chr(10)
+         || 'WARC-Date: 2024-01-01T00:00:00Z' || chr(13)||chr(10)
+         || 'WARC-Record-ID: <urn:uuid:'
+         || substr(md5(url), 1, 8) || '-' || substr(md5(url), 9, 4) || '-'
+         || substr(md5(url), 13, 4) || '-' || substr(md5(url), 17, 4) || '-'
+         || substr(md5(url), 21, 12)
+         || '>' || chr(13)||chr(10)
+         || 'Content-Type: text/plain' || chr(13)||chr(10)
+         || 'Content-Length: ' || octet_length(encode(expected_text))::varchar
+         || chr(13)||chr(10) || chr(13)||chr(10)
+         || expected_text || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+  FROM web_pages
+)
+SELECT url, md5(rec) AS wet_md5, octet_length(encode(rec))::int AS n_bytes
+FROM wet
+""",
         "gopher_quality": _gopher_oracle(),
         "c4_clean": _c4_oracle(),
         "pii_redact": _pii_oracle(),

@@ -33,6 +33,7 @@ from hashlib import md5
 from typing import Iterable, Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -95,6 +96,29 @@ def make_warc(records: Iterable[tuple], gzip_member: bool = True) -> bytes:
     return bytes(out)
 
 
+def make_warc_index(
+    records: Iterable[tuple], gzip_member: bool = True
+) -> tuple:
+    """Like :func:`make_warc`, but also return CDX-style index entries
+    ``(url, offset, length, sha256_hex)`` — offset/length of each
+    record's (gzip-member) byte span inside the file, digest over the
+    *payload*. The span is independently decompressible (that is the
+    point of member-gzip), so a reader can fetch one record from a
+    100 TB crawl with a single ranged read — the access pattern CDX
+    servers exist for."""
+    from hashlib import sha256
+
+    out = bytearray()
+    entries = []
+    for rec in records:
+        url, payload = rec[0], rec[1]
+        ts = rec[2] if len(rec) > 2 else None
+        b = warc_record_bytes(url, payload, ts=ts, gzip_member=gzip_member)
+        entries.append((url, len(out), len(b), sha256(payload).hexdigest()))
+        out += b
+    return bytes(out), entries
+
+
 # ---------------------------------------------------------------------------
 # Parser
 
@@ -122,7 +146,7 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
         pos += consumed
 
 
-def _parse_plain(data: bytes) -> Iterator[dict]:
+def _parse_plain(data: bytes, want: bytes = b"response") -> Iterator[dict]:
     pos = 0
     while True:
         start = data.find(b"WARC/", pos)
@@ -138,13 +162,15 @@ def _parse_plain(data: bytes) -> Iterator[dict]:
             clen = 0
         body = data[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen
-        rec = _record_from(headers, body)
+        rec = _record_from(headers, body, want)
         if rec is not None:
             yield rec
 
 
-def _record_from(headers: dict, body: bytes) -> Optional[dict]:
-    if headers.get(b"warc-type") != b"response":
+def _record_from(
+    headers: dict, body: bytes, want: bytes = b"response"
+) -> Optional[dict]:
+    if headers.get(b"warc-type") != want:
         return None
     url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
     date = headers.get(b"warc-date", b"").decode("ascii", "replace")
@@ -177,16 +203,21 @@ def _record_from(headers: dict, body: bytes) -> Optional[dict]:
     }
 
 
-def iter_warc_records(data: bytes) -> Iterator[dict]:
-    """Yield ``response`` records from WARC bytes (gzip-member or plain
-    concatenation), HTTP envelope stripped. Malformed trailing garbage
-    ends iteration instead of raising — at crawl scale truncated
-    segments are routine and must not fail the task."""
+def iter_warc_records(
+    data: bytes, record_type: str = "response"
+) -> Iterator[dict]:
+    """Yield records of ``record_type`` from WARC bytes (gzip-member or
+    plain concatenation); ``response`` records get the HTTP envelope
+    stripped, ``conversion`` (WET) records carry their text payload
+    as-is. Malformed trailing garbage ends iteration instead of
+    raising — at crawl scale truncated segments are routine and must
+    not fail the task."""
+    want = record_type.encode("ascii")
     if data[:2] == _GZIP_MAGIC:
         for member in _gzip_members(data):
-            yield from _parse_plain(member)
+            yield from _parse_plain(member, want)
     else:
-        yield from _parse_plain(data)
+        yield from _parse_plain(data, want)
 
 
 # ---------------------------------------------------------------------------
@@ -264,3 +295,43 @@ def warc_roundtrip_pages(pages: DataFrame, n_groups: int = 8) -> DataFrame:
         _split,
         "url string, warc_ts timestamp, html binary, http_status int, mime string",
     )
+
+
+# ---------------------------------------------------------------------------
+# WET sink (conversion records — the extracted-text sibling of WARC)
+
+
+def to_wet(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Extraction output → per-document WET ``conversion`` record bytes
+    ``(url, wet)`` — the format Common Crawl publishes extracted text
+    in, consumable by any WET reader unchanged.
+
+    Pure JVM string concat over the row (no Python, no shuffle): the
+    record is a WARC/1.0 header (type conversion, deterministic date,
+    url-derived record id — same scheme as :func:`warc_record_bytes`)
+    plus the utf-8 text payload. Concatenate the ``wet`` column per
+    output file partition to get valid ``.warc.wet`` bytes.
+    """
+    url = F.col(url_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    rid = F.md5(url)
+    crlf = F.lit("\r\n")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        url,
+        crlf,
+        F.lit("WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:uuid:"),
+        F.substring(rid, 1, 8), F.lit("-"),
+        F.substring(rid, 9, 4), F.lit("-"),
+        F.substring(rid, 13, 4), F.lit("-"),
+        F.substring(rid, 17, 4), F.lit("-"),
+        F.substring(rid, 21, 12),
+        F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"),
+        text,
+        F.lit("\r\n\r\n"),
+    )
+    return df.select(url.alias("url"), rec.cast("binary").alias("wet"))

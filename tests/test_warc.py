@@ -97,3 +97,53 @@ def test_single_record_helper():
     rec = warc_record_bytes("https://x.test/solo", b"<p>x</p>", gzip_member=False)
     [out] = list(iter_warc_records(rec))
     assert out["url"] == "https://x.test/solo" and out["html"] == b"<p>x</p>"
+
+
+def test_cdx_index_random_access():
+    from hashlib import sha256
+
+    from docling_plus_spark.sources.warc import make_warc_index
+
+    recs = _recs(9)
+    blob, entries = make_warc_index(recs)
+    assert blob == make_warc(recs)  # index variant is byte-identical
+    assert [e[0] for e in entries] == [u for u, _, _ in recs]
+    # each (offset, length) span is independently decompressible: the
+    # single-ranged-read access pattern CDX exists for
+    for (url, off, ln, digest), (_, payload, _) in zip(entries, recs):
+        [rec] = list(iter_warc_records(blob[off : off + ln]))
+        assert rec["url"] == url and rec["html"] == payload
+        assert digest == sha256(payload).hexdigest()
+    assert entries[-1][1] + entries[-1][2] == len(blob)
+
+
+def test_wet_record_roundtrip(spark):
+    from docling_plus_spark.sources.warc import to_wet
+
+    df = spark.createDataFrame(
+        [("https://x.test/a", "line one\nline two"), ("https://x.test/b", "")],
+        "url string, text string",
+    )
+    rows = {r.url: bytes(r.wet) for r in to_wet(df).collect()}
+    # parses back as a conversion record with the exact text payload
+    [rec] = list(iter_warc_records(rows["https://x.test/a"], "conversion"))
+    assert rec["url"] == "https://x.test/a"
+    assert rec["html"] == b"line one\nline two"
+    # a concatenation of records is a valid WET file
+    wet_file = rows["https://x.test/a"] + rows["https://x.test/b"]
+    got = list(iter_warc_records(wet_file, "conversion"))
+    assert [r["url"] for r in got] == ["https://x.test/a", "https://x.test/b"]
+    # response-mode iteration ignores conversion records entirely
+    assert list(iter_warc_records(wet_file)) == []
+
+
+def test_wet_content_length_utf8(spark):
+    from docling_plus_spark.sources.warc import to_wet
+
+    df = spark.createDataFrame(
+        [("https://x.test/u", "café — naïve")],
+        "url string, text string",
+    )
+    [r] = to_wet(df).collect()
+    [rec] = list(iter_warc_records(bytes(r.wet), "conversion"))
+    assert rec["html"].decode("utf-8") == "café — naïve"

@@ -1721,6 +1721,19 @@ def _q_wet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing
+    (operators/packing.py): whitespace token counts → two-phase
+    distributed prefix sum → 128-token context-window spans. Oracle is
+    the same packing as a plain global window in DuckDB."""
+    from docling_plus_spark.operators.packing import sequence_pack
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return sequence_pack(d, budget=128, id_col="doc_id", ntok_col="n_tokens")
+
+
 def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT-side link extraction (operators/links.py): synth pages with
     formula-driven ``<a href>`` tags (one root-relative double-quoted,
@@ -1891,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": _q_outlinks,
         "pagerank": _q_pagerank,
         "wet_sink": _q_wet_sink,
+        "sequence_pack": _q_sequence_pack,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2268,6 +2282,14 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar,
 FROM documents
 """,
         "pagerank": _pagerank_oracle(6),
+        "sequence_pack": __import__(
+            "docling_plus_spark.operators.packing", fromlist=["sequence_pack_sql"]
+        ).sequence_pack_sql(
+            128,
+            table="(SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END::int "
+            "AS n_tokens FROM documents)",
+        ),
         "wet_sink": f"""
 WITH {SYNTH_PAGE_ORACLE_CTE},
 wet AS (

@@ -1,0 +1,139 @@
+"""Sequence packing: concatenate a token stream into fixed-size
+context windows.
+
+The last stage of a training-data pipeline: documents (already
+cleaned, deduped, tokenized) are laid out end-to-end in a canonical
+order and cut into fixed ``budget``-token windows; a document that
+straddles a cut simply continues in the next window (GPT-style
+concat-then-chunk packing — zero padding waste, in contrast to
+first-fit bin packing whose greedy order is inherently sequential).
+
+The only global computation is the running token offset of each
+document — a prefix sum over a total order. A naive window
+(``Window.orderBy(id)`` with no partition key) collapses the whole
+corpus into ONE task; this module does the textbook two-phase
+distributed prefix sum instead:
+
+1. range-partition by id (contiguous id ranges per partition) and
+   sort within partitions;
+2. per-partition token totals → a tiny (one row per partition) table
+   whose own cumulative sum gives each partition's starting offset;
+3. broadcast those starting offsets back and add the intra-partition
+   running sum (a window PARTITIONED by partition id — parallel).
+
+Offsets are invariant to where the range boundaries land (the sampled
+split points only decide which task computes which contiguous slice),
+so the output is deterministic even though the range partitioner
+samples. Cost at 100 TB: one range shuffle of (id, n_tokens) pairs —
+NOT the text — plus a |partitions|-row side table; the window-span
+explode is narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+) -> DataFrame:
+    """(window_id, id, tok_from, tok_to, win_off) packing plan rows.
+
+    Document ``id`` contributes its token span ``[tok_from, tok_to)``
+    (document-local) to window ``window_id`` starting at position
+    ``win_off`` inside the window. Every window except the last is
+    exactly ``budget`` tokens; zero-token documents are dropped.
+    Consumers join back on ``id`` to slice actual token arrays.
+    """
+    d = (
+        df.select(F.col(id_col).alias("id"), F.col(ntok_col).alias("n"))
+        .where(F.col("n") > 0)
+        .repartitionByRange("id")
+        .sortWithinPartitions("id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids for both uses
+    )
+    part_sums = d.groupBy("pid").agg(F.sum("n").alias("psum"))
+    # cumulative start offset per partition: |partitions| rows, so the
+    # single-task window here is over a tiny side table, not the data
+    w_parts = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    part_offsets = part_sums.select(
+        "pid", F.coalesce(F.sum("psum").over(w_parts), F.lit(0)).alias("poff")
+    )
+    w_intra = (
+        Window.partitionBy("pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.join(F.broadcast(part_offsets), "pid")
+        .withColumn(
+            "off",
+            F.col("poff") + F.coalesce(F.sum("n").over(w_intra), F.lit(0)),
+        )
+        .select("id", "n", "off")
+    )
+    # explode the windows each doc overlaps; `div` keeps the arithmetic
+    # integral (offsets exceed double's exact range at real scale)
+    b = F.lit(budget)
+    spans = offs.select(
+        "id",
+        "n",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off div {budget}"),
+                F.expr(f"(off + n - 1) div {budget}"),
+            )
+        ).alias("window_id"),
+    )
+    return spans.select(
+        "window_id",
+        "id",
+        F.greatest(F.lit(0), F.col("window_id") * b - F.col("off")).alias(
+            "tok_from"
+        ),
+        F.least(
+            F.col("n"), (F.col("window_id") + 1) * b - F.col("off")
+        ).alias("tok_to"),
+        F.greatest(F.lit(0), F.col("off") - F.col("window_id") * b).alias(
+            "win_off"
+        ),
+    )
+
+
+def sequence_pack_sql(
+    budget: int,
+    id_expr: str = "doc_id",
+    ntok_expr: str = "n_tokens",
+    table: str = "t",
+) -> str:
+    """DuckDB twin of :func:`sequence_pack` (plain global window — the
+    oracle does not need to scale)."""
+    return f"""
+WITH d AS (
+  SELECT {id_expr} AS id, {ntok_expr} AS n FROM {table} WHERE {ntok_expr} > 0
+),
+o AS (
+  SELECT id, n,
+         coalesce(sum(n) OVER (ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+             AS off
+  FROM d
+),
+s AS (
+  SELECT id, n, off, w AS window_id
+  FROM o, unnest(range(off // {budget}, (off + n - 1) // {budget} + 1)) AS u(w)
+)
+SELECT window_id, id,
+       greatest(0, window_id * {budget} - off) AS tok_from,
+       least(n, (window_id + 1) * {budget} - off) AS tok_to,
+       greatest(0, off - window_id * {budget}) AS win_off
+FROM s
+"""

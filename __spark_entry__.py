@@ -1734,6 +1734,20 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(d, budget=128, id_col="doc_id", ntok_col="n_tokens")
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring removal, Lee et al. ACL'22 semantics
+    (operators/substring.py): every >=k-token span occurring more than
+    once in the corpus is cut from all but its canonical (min (id,pos))
+    occurrence. k-gram hash groupBy + join back; text never shuffles."""
+    from docling_plus_spark.operators.substring import (
+        strip_duplicate_substrings,
+    )
+
+    return strip_duplicate_substrings(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=8
+    )
+
+
 def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT-side link extraction (operators/links.py): synth pages with
     formula-driven ``<a href>`` tags (one root-relative double-quoted,
@@ -1905,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "wet_sink": _q_wet_sink,
         "sequence_pack": _q_sequence_pack,
+        "substring_dedup": _q_substring_dedup,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2282,6 +2297,10 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar,
 FROM documents
 """,
         "pagerank": _pagerank_oracle(6),
+        "substring_dedup": __import__(
+            "docling_plus_spark.operators.substring",
+            fromlist=["strip_duplicate_substrings_sql"],
+        ).strip_duplicate_substrings_sql(8),
         "sequence_pack": __import__(
             "docling_plus_spark.operators.packing", fromlist=["sequence_pack_sql"]
         ).sequence_pack_sql(

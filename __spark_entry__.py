@@ -1748,6 +1748,17 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item character spans over the exported text (operators/
+    spans.py; north-star surface "extracted text and span offsets").
+    One narrow mapInPandas, no shuffle; span_md5 = md5 of the exact
+    text slice proves byte-identity of the addressed content against
+    the formula-driven oracle."""
+    from docling_plus_spark.operators.spans import span_offsets_stage
+
+    return span_offsets_stage(synth_pages_from_documents(spark, sf_dir))
+
+
 def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT-side link extraction (operators/links.py): synth pages with
     formula-driven ``<a href>`` tags (one root-relative double-quoted,
@@ -1920,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_sink": _q_wet_sink,
         "sequence_pack": _q_sequence_pack,
         "substring_dedup": _q_substring_dedup,
+        "span_offsets": _q_span_offsets,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2297,6 +2309,23 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar,
 FROM documents
 """,
         "pagerank": _pagerank_oracle(6),
+        "span_offsets": """
+WITH t AS (
+  SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
+         'Doc ' || doc_id::varchar AS title, text
+  FROM documents
+)
+SELECT url, 0 AS item_idx, 'title' AS label,
+       0 AS char_start, length(title)::int AS char_end,
+       md5(title) AS span_md5
+FROM t
+UNION ALL
+SELECT url, 1 AS item_idx, 'text' AS label,
+       (length(title) + 1)::int AS char_start,
+       (length(title) + 1 + length(text))::int AS char_end,
+       md5(text) AS span_md5
+FROM t
+""",
         "substring_dedup": __import__(
             "docling_plus_spark.operators.substring",
             fromlist=["strip_duplicate_substrings_sql"],

@@ -1784,6 +1784,39 @@ def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_outlinks(pages)
 
 
+def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (operators/links.py:anchor_text_stats):
+    per target url, in-link count + modal anchor text — the crawl's
+    collective description of each page. Synth pages carry two
+    formula-driven <a> tags with varying anchors; two map-side-combined
+    shuffles on dst."""
+    from docling_plus_spark.operators.links import (
+        anchor_text_stats,
+        extract_anchors,
+    )
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    i = F.col("doc_id")
+    dst1 = F.pmod(i * 7 + 13, F.lit(n)).cast("string")
+    dst2 = F.pmod(i * 7 + 26, F.lit(n)).cast("string")
+    a1 = F.pmod(i, F.lit(5)).cast("string")
+    a2 = F.pmod(i, F.lit(3)).cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), i.cast("string"),
+        F.lit('</h1><p>x</p><a href="/doc/'), dst1,
+        F.lit('">link '), a1,
+        F.lit("</a><a href='https://ext.test/doc/"), dst2,
+        F.lit("'>ref "), a2,
+        F.lit("</a></body></html>"),
+    ).cast("binary")
+    pages = d.select(
+        F.concat(F.lit("https://synth.test/doc/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_text_stats(extract_anchors(pages))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over a formula-driven synthetic link graph
     (operators/links.py): 6 message-passing rounds, out-degree folded
@@ -1932,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "substring_dedup": _q_substring_dedup,
         "span_offsets": _q_span_offsets,
+        "anchor_text": _q_anchor_text,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2309,6 +2343,27 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar,
 FROM documents
 """,
         "pagerank": _pagerank_oracle(6),
+        "anchor_text": """
+WITH n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT 'https://synth.test/doc/' || ((doc_id*7+13) % (SELECT n FROM n))::varchar AS dst,
+         'link ' || (doc_id % 5)::varchar AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://ext.test/doc/' || ((doc_id*7+26) % (SELECT n FROM n))::varchar,
+         'ref ' || (doc_id % 3)::varchar
+  FROM documents
+),
+per AS (
+  SELECT dst, anchor, count(*) AS cnt FROM edges GROUP BY dst, anchor
+)
+SELECT dst,
+       sum(cnt)::bigint AS n_inlinks,
+       count(*)::bigint AS n_anchors,
+       min(struct_pack(neg := -cnt, anchor := anchor)).anchor AS top_anchor,
+       (-min(struct_pack(neg := -cnt, anchor := anchor)).neg)::bigint AS top_anchor_count
+FROM per GROUP BY dst
+""",
         "span_offsets": """
 WITH t AS (
   SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,

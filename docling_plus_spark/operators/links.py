@@ -63,15 +63,95 @@ def extract_outlinks(
     )
     out = pages.select(F.col(url_col).alias("src"), F.explode(hrefs).alias("href"))
     href = F.regexp_replace(F.col("href"), r"#.*$", "")
-    resolved = (
-        F.when(href.startswith("//"), F.concat(F.lit("https:"), href))
-        .when(href.rlike(r"^[a-z]+://"), href)
-        .when(href.startswith("/"), F.concat(scheme_host_of(F.col("src")), href))
-        .otherwise(F.concat(base_dir_of(F.col("src")), href))
-    )
     return (
         out.where(href != "")
-        .select("src", resolved.alias("dst"))
+        .select("src", _resolve_href(href, F.col("src")).alias("dst"))
+    )
+
+
+_A_PAIR_DQ = r'(?i)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
+_A_PAIR_SQ = r"(?i)<a\s[^>]*?href\s*=\s*'([^']*)'[^>]*>([^<]*)</a>"
+
+
+def _resolve_href(href: Column, src: Column) -> Column:
+    """F5-family absolute resolution (same rules as extract_outlinks)."""
+    return (
+        F.when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .when(href.rlike(r"^[a-z]+://"), href)
+        .when(href.startswith("/"), F.concat(scheme_host_of(src), href))
+        .otherwise(F.concat(base_dir_of(src), href))
+    )
+
+
+def extract_anchors(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Page rows → ``(src, dst, anchor)`` edges with anchor text.
+
+    The WAT layer's second payload: the text *inside* each ``<a>`` tag,
+    which at corpus scale is the crawl's collective description of the
+    target page (anchor-text aggregation is a standard web-corpus
+    signal — it describes pages their own content doesn't). Same
+    whole-stage-codegen shape as :func:`extract_outlinks`: two
+    ``regexp_extract_all`` passes per quote style (href group, anchor
+    group — the engine returns one group per call) zipped positionally,
+    then explode + resolve. No Python, no shuffle.
+    """
+    s = F.col(html_col).cast("string")
+
+    def pairs(pat: str) -> Column:
+        return F.zip_with(
+            F.regexp_extract_all(s, F.lit(pat), F.lit(1)),
+            F.regexp_extract_all(s, F.lit(pat), F.lit(2)),
+            lambda h, a: F.struct(h.alias("href"), a.alias("anchor")),
+        )
+
+    out = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(F.concat(pairs(_A_PAIR_DQ), pairs(_A_PAIR_SQ))).alias("p"),
+    )
+    href = F.regexp_replace(F.col("p.href"), r"#.*$", "")
+    return (
+        out.where(href != "")
+        .select(
+            "src",
+            _resolve_href(href, F.col("src")).alias("dst"),
+            F.trim(F.col("p.anchor")).alias("anchor"),
+        )
+    )
+
+
+def anchor_text_stats(edges: DataFrame) -> DataFrame:
+    """``(dst, n_inlinks, n_anchors, top_anchor, top_anchor_count)``.
+
+    Per target url: in-link count, distinct anchor strings, and the
+    modal anchor text (ties broken lexicographically-min, so the result
+    is engine-independent). Two shuffles on ``dst``, both with map-side
+    partial aggregation; the second carries one row per (dst, anchor)
+    — bounded by the first's output, never by the edge count. The
+    classic scale hazard (one mega-popular dst) only concentrates the
+    *pre-aggregated* (dst, anchor) rows, which AQE's skew handling
+    splits; raw edges are combined map-side before any exchange.
+    """
+    per = edges.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    return (
+        per.groupBy("dst")
+        .agg(
+            F.sum("cnt").alias("n_inlinks"),
+            F.count("*").alias("n_anchors"),
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("anchor"))
+            ).alias("top"),
+        )
+        .select(
+            "dst",
+            "n_inlinks",
+            "n_anchors",
+            F.col("top.anchor").alias("top_anchor"),
+            (-F.col("top.neg")).alias("top_anchor_count"),
+        )
     )
 
 

@@ -95,3 +95,51 @@ def test_pagerank_hub_graph(spark):
         assert got[v] == pytest.approx(want[v], abs=1e-12)
     assert got[99] > 5 * got[2]
     assert got[1] > got[99]
+
+
+# ---------------------------------------------------------------- anchors
+
+
+def test_extract_anchors_pairs_and_trim(spark):
+    from docling_plus_spark.operators.links import extract_anchors
+
+    html = (
+        '<a href="/x">  First Link </a>'
+        "<a href='https://e.test/y' class=\"z\">second</a>"
+        '<a href="#frag-only">skipped</a>'
+        '<a href="/img"></a>'
+    )
+    rows = sorted(
+        extract_anchors(_pages(spark, html)).collect(),
+        key=lambda r: r.dst,
+    )
+    assert [(r.dst, r.anchor) for r in rows] == [
+        ("https://e.test/y", "second"),
+        ("https://h.test/img", ""),
+        ("https://h.test/x", "First Link"),
+    ]
+
+
+def test_anchor_text_stats_mode_and_ties(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from docling_plus_spark.operators.links import anchor_text_stats
+
+    edges = spark.createDataFrame(
+        [
+            ("s1", "d1", "home"),
+            ("s2", "d1", "home"),
+            ("s3", "d1", "start"),
+            # d2: tie between "a" and "b" → lexicographic min wins
+            ("s1", "d2", "b"),
+            ("s2", "d2", "a"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    rows = {r.dst: r for r in anchor_text_stats(edges).collect()}
+    assert rows["d1"].n_inlinks == 3
+    assert rows["d1"].n_anchors == 2
+    assert rows["d1"].top_anchor == "home"
+    assert rows["d1"].top_anchor_count == 2
+    assert rows["d2"].top_anchor == "a"
+    assert rows["d2"].top_anchor_count == 1

@@ -532,6 +532,22 @@ def _q_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020;
+    operators/quality.py:ccnet_buckets): per language, documents are
+    ordered by char-bigram NLL and cut into thirds with a deterministic
+    (score, id) total order. Exact-rank variant here (oracle-able);
+    ccnet_buckets_by_cutpoints is the broadcast-quantile 100 TB path."""
+    from docling_plus_spark.operators.quality import ccnet_buckets
+    from docling_plus_spark.operators.textstats import char_bigram_logprob
+
+    d = _docs(spark, sf_dir)
+    scored = char_bigram_logprob(d, "doc_id", "text").join(
+        d.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return ccnet_buckets(scored, "id", "lang", "mean_nll")
+
+
 def _q_repetition_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.curation import repetition_strip
 
@@ -1966,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "span_offsets": _q_span_offsets,
         "anchor_text": _q_anchor_text,
+        "ccnet_buckets": _q_ccnet_buckets,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2289,6 +2306,7 @@ SELECT id_a, rk, id_b, cosine FROM (
         "winnow_dedup": _winnow_dedup_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "char_lm_score": _char_lm_oracle(),
+        "ccnet_buckets": _ccnet_oracle(),
         "repetition_strip": _curation_oracle("repetition_strip"),
         "dsir_weights": _curation_oracle("dsir_weights"),
         "bloom_dedup": _curation_oracle("bloom_dedup"),
@@ -2691,6 +2709,18 @@ def _char_lm_oracle() -> str:
     from docling_plus_spark.operators.textstats import char_bigram_logprob_sql
 
     return char_bigram_logprob_sql("doc_id", "text")
+
+
+def _ccnet_oracle() -> str:
+    from docling_plus_spark.operators.quality import ccnet_buckets_sql
+    from docling_plus_spark.operators.textstats import char_bigram_logprob_sql
+
+    scored = (
+        "SELECT s.id, d.lang, s.mean_nll FROM ("
+        + char_bigram_logprob_sql("doc_id", "text")
+        + ") s JOIN documents d ON d.doc_id = s.id"
+    )
+    return ccnet_buckets_sql(scored, "id", "lang", "mean_nll")
 
 
 def _winnow_dedup_oracle() -> str:

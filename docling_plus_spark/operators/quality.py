@@ -354,3 +354,102 @@ SELECT id,
    AND len(kept) > 0) AS c4_keep
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity bucketing (Wenzek et al., LREC 2020)
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    id_col: str = "id",
+    lang_col: str = "lang",
+    score_col: str = "mean_nll",
+) -> DataFrame:
+    """``(id, lang, score, bucket)`` — head / middle / tail thirds.
+
+    CCNet's curation core: within each language, order documents by LM
+    perplexity (here the char-bigram NLL from
+    :func:`..operators.textstats.char_bigram_logprob`) and cut into
+    thirds — ``head`` is the most-fluent third, ``tail`` the least.
+    The total order is (score, id), so ties are deterministic and the
+    DuckDB twin reproduces buckets exactly. Bucket index is the plain
+    rank formula ``floor(3*(rn-1)/n)`` (engine-independent, unlike
+    NTILE's remainder-spreading details).
+
+    Scale: the window sorts per language — with O(100) languages on a
+    10^12-doc corpus each partition is huge, so this exact variant is
+    for the ≤ per-executor-sortable regime (tests, oracle). The 100 TB
+    path is :func:`ccnet_buckets_by_cutpoints`: two tiny broadcastable
+    aggregates instead of a global per-lang sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(lang_col).orderBy(score_col, id_col)
+    n = Window.partitionBy(lang_col)
+    rn = F.row_number().over(w)
+    cnt = F.count("*").over(n)
+    idx = F.floor(F.lit(3) * (rn - 1) / cnt)
+    return scored.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.col(score_col).alias("score"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            (idx + 1).cast("int"),
+        ).alias("bucket"),
+    )
+
+
+def ccnet_buckets_by_cutpoints(
+    scored: DataFrame,
+    id_col: str = "id",
+    lang_col: str = "lang",
+    score_col: str = "mean_nll",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale variant: approx-quantile cutpoints, broadcast-joined.
+
+    One map-side-combined aggregation computes the per-language 1/3 and
+    2/3 approximate percentiles (GK sketch, ``accuracy`` inverse-eps);
+    the cutpoint table is O(#languages) rows, broadcast back, and
+    bucket assignment is a narrow comparison — no per-lang sort
+    anywhere, so the plan is two scans + one broadcast join at any
+    corpus size. Buckets near the cutpoints may differ from the exact
+    variant by the sketch's rank error (1/accuracy of the population).
+    """
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile_approx(score_col, [1.0 / 3, 2.0 / 3], accuracy).alias("cuts")
+    )
+    s = F.col(score_col)
+    return (
+        scored.join(F.broadcast(cuts), lang_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(lang_col).alias("lang"),
+            s.alias("score"),
+            F.when(s <= F.element_at("cuts", 1), F.lit("head"))
+            .when(s <= F.element_at("cuts", 2), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def ccnet_buckets_sql(
+    scored_cte: str,
+    id_expr: str = "id",
+    lang_expr: str = "lang",
+    score_expr: str = "mean_nll",
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` over a scored CTE body."""
+    return f"""
+WITH scored AS ({scored_cte})
+SELECT {id_expr} AS id, {lang_expr} AS lang, {score_expr} AS score,
+       (['head', 'middle', 'tail'])[
+         (floor(3.0 * (row_number() OVER (
+             PARTITION BY {lang_expr} ORDER BY {score_expr}, {id_expr}) - 1)
+           / count(*) OVER (PARTITION BY {lang_expr})))::int + 1
+       ] AS bucket
+FROM scored
+"""

@@ -109,3 +109,59 @@ def test_model_tables_broadcast(spark):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------- ccnet bucketing
+
+
+def test_ccnet_buckets_exact_thirds(spark):
+    from docling_plus_spark.operators.quality import ccnet_buckets
+
+    rows = [(i, "en", float(i)) for i in range(9)] + [
+        (i, "de", float(100 - i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, mean_nll double")
+    out = {(r.lang, r.id): r.bucket for r in ccnet_buckets(df).collect()}
+    # en: 9 docs -> exact thirds by ascending score
+    for i in range(3):
+        assert out[("en", i)] == "head"
+    for i in range(3, 6):
+        assert out[("en", i)] == "middle"
+    for i in range(6, 9):
+        assert out[("en", i)] == "tail"
+    # de: scores descend with id -> id 3 is most fluent
+    assert out[("de", 3)] == "head"
+    assert out[("de", 0)] == "tail"
+    # 4 docs: floor(3*(rn-1)/4) -> buckets sized 2/1/1
+    assert sorted(out[("de", i)] for i in range(4)).count("head") == 2
+
+
+def test_ccnet_buckets_tie_break_deterministic(spark):
+    from docling_plus_spark.operators.quality import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", 1.0) for i in range(6)],
+        "id long, lang string, mean_nll double",
+    )
+    out = {r.id: r.bucket for r in ccnet_buckets(df).collect()}
+    assert [out[i] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+
+
+def test_ccnet_cutpoints_agrees_on_spread_scores(spark):
+    from docling_plus_spark.operators.quality import (
+        ccnet_buckets,
+        ccnet_buckets_by_cutpoints,
+    )
+
+    rows = [(i, "en", float(i) * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, lang string, mean_nll double")
+    exact = {r.id: r.bucket for r in ccnet_buckets(df).collect()}
+    approx = {
+        r.id: r.bucket for r in ccnet_buckets_by_cutpoints(df).collect()
+    }
+    # high-accuracy sketch on well-separated scores: at most the two
+    # boundary docs may differ
+    diffs = [i for i in exact if exact[i] != approx[i]]
+    assert len(diffs) <= 2

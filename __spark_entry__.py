@@ -1833,6 +1833,38 @@ def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_stats(extract_anchors(pages))
 
 
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt parse + longest-match crawl gate
+    (operators/robots.py): per-host rule fold (F.aggregate over lines)
+    then a broadcast join onto the page table — zero page-side
+    shuffles. Synth: 7 hosts sharing a rule template with agent-
+    specific decoy groups; paths hit disallow/allow-override/no-match/
+    wildcard-anchor cases by doc_id formula."""
+    from docling_plus_spark.operators.robots import robots_gate, robots_rules
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host = F.concat(F.lit("https://h"), F.pmod(i, F.lit(7)).cast("string"), F.lit(".test"))
+    path = (
+        F.when(F.pmod(i, 4) == 0, F.concat(F.lit("/private/doc/"), i.cast("string")))
+        .when(F.pmod(i, 4) == 1, F.concat(F.lit("/private/ok/"), i.cast("string")))
+        .when(F.pmod(i, 4) == 2, F.concat(F.lit("/doc/"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/doc/x"), i.cast("string"), F.lit("y")))
+    )
+    pages = d.select(F.concat(host, path).alias("url"))
+    body = F.concat(
+        F.lit("# synth robots\nUser-agent: bot"),
+        F.pmod(i, F.lit(7)).cast("string"),
+        F.lit("\nDisallow: /\n\nUser-agent: *\nDisallow: /private/\n"
+              "Allow: /private/ok/\nDisallow: /doc/x*y$\n"),
+    )
+    robots = (
+        d.select(host.alias("host"), body.alias("robots_txt"))
+        .dropDuplicates(["host"])
+    )
+    return robots_gate(pages, robots_rules(robots))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over a formula-driven synthetic link graph
     (operators/links.py): 6 message-passing rounds, out-degree folded
@@ -1983,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_offsets": _q_span_offsets,
         "anchor_text": _q_anchor_text,
         "ccnet_buckets": _q_ccnet_buckets,
+        "robots_gate": _q_robots_gate,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2361,6 +2394,27 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar,
 FROM documents
 """,
         "pagerank": _pagerank_oracle(6),
+        "robots_gate": """
+SELECT 'https://h' || (doc_id % 7)::varchar || '.test' ||
+       CASE doc_id % 4
+         WHEN 0 THEN '/private/doc/' || doc_id::varchar
+         WHEN 1 THEN '/private/ok/' || doc_id::varchar
+         WHEN 2 THEN '/doc/' || doc_id::varchar
+         ELSE '/doc/x' || doc_id::varchar || 'y' END AS url,
+       'https://h' || (doc_id % 7)::varchar || '.test' AS host,
+       CASE doc_id % 4
+         WHEN 0 THEN '/private/doc/' || doc_id::varchar
+         WHEN 1 THEN '/private/ok/' || doc_id::varchar
+         WHEN 2 THEN '/doc/' || doc_id::varchar
+         ELSE '/doc/x' || doc_id::varchar || 'y' END AS path,
+       CASE doc_id % 4 WHEN 0 THEN false WHEN 3 THEN false ELSE true END AS allowed,
+       CASE doc_id % 4
+         WHEN 0 THEN '/private/'
+         WHEN 1 THEN '/private/ok/'
+         WHEN 3 THEN '/doc/x*y$'
+         ELSE NULL END AS matched_rule
+FROM documents
+""",
         "anchor_text": """
 WITH n AS (SELECT count(*) AS n FROM documents),
 edges AS (

@@ -1,0 +1,160 @@
+"""robots.txt parsing + crawl-permission gate (RFC 9309).
+
+A Common-Crawl-style pipeline has to answer "was this url even
+crawlable?" both at frontier time and retroactively (takedown sweeps,
+license audits). The reference engine starts after fetch (docling
+converts bytes); the crawl layer above it needs exactly two operators:
+
+* :func:`robots_rules` — robots.txt bodies → one row per host with the
+  ``User-agent: *`` group's (allow, path) rules as an array column.
+  Group tracking (one-or-more ``User-agent`` lines followed by rules;
+  a later agent line starts a new group), comment stripping, and
+  empty-value no-ops (RFC 9309 §2.2) are all a single ``F.aggregate``
+  fold over the split lines — no Python, one narrow projection.
+* :func:`robots_gate` — pages ⋈ rules (broadcast: the rule table is
+  O(#hosts), pages are O(corpus)), longest-match evaluation with
+  allow-wins ties (RFC 9309 §2.2.2), ``*`` wildcards and ``$``
+  end-anchors compiled to per-rule regexes inside the HOF. No rule
+  matched → allowed (§2.2.3).
+
+Scale shape: parsing is narrow per-host work; the gate is one
+broadcast hash join keyed on host plus whole-stage-codegen'd array
+expressions — zero shuffles on the page side, so it pipelines into the
+extraction scan at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _field(line: Column) -> Column:
+    """Lower-cased field name before the first ':' (RFC: names are
+    case-insensitive), trimmed; lines without ':' yield ''."""
+    return F.when(
+        line.contains(":"), F.lower(F.trim(F.substring_index(line, ":", 1)))
+    ).otherwise(F.lit(""))
+
+
+_RULES_T = "array<struct<allow:boolean,path:string>>"
+_ACC_T = (
+    "struct<active:boolean,in_agents:boolean,"
+    f"rules:{_RULES_T}>"
+)
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, rules)`` — the ``*`` group's rules per host.
+
+    ``rules`` is ``array<struct<allow, path>>`` in file order. Hosts
+    whose robots.txt has no ``*`` group (or no rules) get an empty
+    array — evaluated as allow-everything by :func:`robots_gate`.
+    """
+    # strip comments per line, drop blank lines
+    raw = F.split(F.col(body_col), "\n")
+    lines = F.filter(
+        F.transform(raw, lambda l: F.trim(F.regexp_replace(l, "#.*$", ""))),
+        lambda l: l != "",
+    )
+
+    def step(acc: Column, line: Column) -> Column:
+        name = _field(line)
+        value = F.trim(F.substr(line, F.instr(line, ":") + 1))
+        is_agent = name == "user-agent"
+        is_rule = name.isin("allow", "disallow") & (value != "")
+        # a user-agent line either extends the current agent run or
+        # starts a new group (if rules intervened since the last one)
+        new_active = F.when(
+            is_agent & acc["in_agents"], acc["active"] | (value == "*")
+        ).when(is_agent, value == "*").otherwise(acc["active"])
+        new_rules = F.when(
+            is_rule & acc["active"],
+            F.concat(
+                acc["rules"],
+                F.array(
+                    F.struct(
+                        (name == "allow").alias("allow"),
+                        value.alias("path"),
+                    )
+                ),
+            ),
+        ).otherwise(acc["rules"])
+        return F.struct(
+            new_active.alias("active"),
+            F.when(is_agent, F.lit(True))
+            .when(name.isin("allow", "disallow"), F.lit(False))
+            .otherwise(acc["in_agents"])
+            .alias("in_agents"),
+            new_rules.alias("rules"),
+        )
+
+    init = F.struct(
+        F.lit(False).alias("active"),
+        F.lit(False).alias("in_agents"),
+        F.array().cast(_RULES_T).alias("rules"),
+    )
+    folded = F.aggregate(lines, init.cast(_ACC_T), step)
+    return robots.select(
+        F.col(host_col).alias("host"), folded["rules"].alias("rules")
+    )
+
+
+def _rule_pattern(path: Column) -> Column:
+    """Rule path spec → anchored regex: ``*`` wildcard, trailing ``$``
+    end-anchor, everything else literal."""
+    anchored = path.endswith("$")
+    core = F.when(
+        anchored, path.substr(F.lit(1), F.length(path) - 1)
+    ).otherwise(path)
+    esc = F.regexp_replace(core, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_gate(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """``(url, host, path, allowed, matched_rule)`` per page.
+
+    Longest-match wins (precedence = octet length of the path spec);
+    equal lengths → allow wins; no match / unknown host → allowed.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^([a-z]+://[^/]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)?$", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    p = pages.select(
+        F.col(url_col).alias("url"), host.alias("host"), path.alias("path")
+    )
+    joined = p.join(F.broadcast(rules), "host", "left")
+    rr = F.coalesce(F.col("rules"), F.array().cast(_RULES_T))
+    matched = F.filter(
+        rr, lambda r: F.regexp_like(F.col("path"), _rule_pattern(r["path"]))
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["path"]).alias("len"),
+                r["allow"].alias("allow"),
+                r["path"].alias("path"),
+            ),
+        )
+    )
+    return joined.select(
+        "url",
+        "host",
+        "path",
+        F.when(F.size(matched) == 0, F.lit(True))
+        .otherwise(best["allow"])
+        .alias("allowed"),
+        F.when(F.size(matched) > 0, best["path"]).alias("matched_rule"),
+    )

@@ -1,0 +1,102 @@
+"""robots.txt parse + gate (operators/robots.py, RFC 9309 semantics)."""
+
+import pytest
+
+from docling_plus_spark.operators.robots import robots_gate, robots_rules
+from docling_plus_spark.plans import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _rules(spark, body):
+    df = spark.createDataFrame(
+        [("https://h.test", body)], "host string, robots_txt string"
+    )
+    out = robots_rules(df).collect()[0]
+    return [(r["allow"], r["path"]) for r in out.rules]
+
+
+def _gate(spark, body, paths):
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("https://h.test", body)], "host string, robots_txt string"
+        )
+    )
+    pages = spark.createDataFrame(
+        [(f"https://h.test{p}",) for p in paths], "url string"
+    )
+    rows = robots_gate(pages, rules).collect()
+    return {r.path: (r.allowed, r.matched_rule) for r in rows}
+
+
+BODY = """# comment here
+User-agent: googlebot
+Disallow: /g-only
+
+User-agent: *
+Disallow: /private/   # inline comment
+Allow: /private/ok/
+Disallow: /doc/x*y$
+
+User-agent: other
+Disallow: /
+"""
+
+
+def test_star_group_only(spark):
+    assert _rules(spark, BODY) == [
+        (False, "/private/"),
+        (True, "/private/ok/"),
+        (False, "/doc/x*y$"),
+    ]
+
+
+def test_multiple_agent_lines_one_group(spark):
+    body = "User-agent: a\nUser-agent: *\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert _rules(spark, body) == [(False, "/x")]
+
+
+def test_empty_value_is_noop(spark):
+    body = "User-agent: *\nDisallow:\nAllow:\n"
+    assert _rules(spark, body) == []
+
+
+def test_gate_longest_match_allow_wins(spark):
+    out = _gate(
+        spark,
+        BODY,
+        ["/", "/doc/1", "/private/doc/2", "/private/ok/3", "/doc/x77y"],
+    )
+    assert out["/"] == (True, None)
+    assert out["/doc/1"] == (True, None)
+    assert out["/private/doc/2"] == (False, "/private/")
+    assert out["/private/ok/3"] == (True, "/private/ok/")
+    assert out["/doc/x77y"] == (False, "/doc/x*y$")
+
+
+def test_gate_anchor_must_match_end(spark):
+    out = _gate(spark, BODY, ["/doc/x77y/tail"])
+    assert out["/doc/x77y/tail"] == (True, None)
+
+
+def test_gate_unknown_host_allowed(spark):
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("https://other.test", "User-agent: *\nDisallow: /")],
+            "host string, robots_txt string",
+        )
+    )
+    pages = spark.createDataFrame([("https://h.test/a",)], "url string")
+    r = robots_gate(pages, rules).collect()[0]
+    assert r.allowed is True and r.matched_rule is None
+
+
+def test_gate_equal_length_tie_allow_wins(spark):
+    body = "User-agent: *\nDisallow: /ab\nAllow: /ab\n"
+    out = _gate(spark, body, ["/abc"])
+    assert out["/abc"][0] is True

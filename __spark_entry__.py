@@ -430,6 +430,29 @@ def _q_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_dedup_keep(d, pairs, "id", threshold=0.7)
 
 
+def _q_cc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (operators/graph.py:
+    cc_dedup_keep_best): keep the max-(score, -id) doc per
+    connected near-dup cluster instead of min id — the FineWeb/
+    RefinedWeb rule that dedup must not trade a clean copy for a
+    boilerplate one. Score here is a deterministic per-id formula so
+    the DuckDB twin replays selection exactly."""
+    from docling_plus_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_prepare,
+    )
+    from docling_plus_spark.operators.graph import cc_dedup_keep_best
+
+    d = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_candidate_pairs(minhash_prepare(d, "id", "text", 16, 4))
+    quality = d.select(
+        "id", F.pmod(F.col("id") * 31, F.lit(101)).cast("double").alias("score")
+    )
+    return cc_dedup_keep_best(
+        d, pairs, quality, "id", threshold=0.7, score_col="score"
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks up the most recent earlier (or
     simultaneous) reference event of its user. Oracle is DuckDB's
@@ -2016,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": _q_anchor_text,
         "ccnet_buckets": _q_ccnet_buckets,
         "robots_gate": _q_robots_gate,
+        "cc_keep_best": _q_cc_keep_best,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2307,6 +2331,27 @@ unpaired AS (
   SELECT id AS keep_id FROM corpus WHERE id NOT IN (SELECT node FROM comp)
 )
 SELECT keep_id FROM keepers UNION ALL SELECT keep_id FROM unpaired
+""",
+        "cc_keep_best": f"""
+WITH RECURSIVE {_minhash_oracle_prefix()},
+ed AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.7),
+sym AS (SELECT id_a AS a, id_b AS b FROM ed UNION SELECT id_b, id_a FROM ed),
+reach(n, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT n AS node, least(n, min(m)) AS comp FROM reach GROUP BY n),
+q AS (SELECT id, ((id * 31) % 101)::double AS score FROM corpus),
+best AS (
+  SELECT c.comp,
+         max(struct_pack(score := q.score, neg_id := -c.node)) AS b
+  FROM comp c JOIN q ON q.id = c.node GROUP BY c.comp
+)
+SELECT (-b.neg_id)::bigint AS keep_id, comp, b.score AS score FROM best
+UNION ALL
+SELECT id AS keep_id, id AS comp, score
+FROM q WHERE id NOT IN (SELECT node FROM comp)
 """,
         "asof_join": """
 WITH r AS (

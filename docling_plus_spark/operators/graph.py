@@ -219,3 +219,65 @@ def asof_join(
         *[F.col(c) for c in lcols if c not in (on, left_time)],
         *[F.col(f"_c_{c}").alias(c) for c in value_cols],
     )
+
+
+def cc_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    sim_col: str = "est_jaccard",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware exemplar selection: keep the *best* doc per
+    near-duplicate cluster, not the min-id one.
+
+    What production curation actually does (FineWeb / RefinedWeb keep
+    the highest-quality representative so dedup never trades a clean
+    copy for a boilerplate-ridden one): clusters are the connected
+    components of the similarity graph; within each, the kept id
+    maximizes ``(score, -id)`` — deterministic tie-break on min id.
+    Unpaired docs are kept as themselves with their own score.
+
+    Output: ``(keep_id, comp, score)`` — ``comp`` is the cluster label
+    (min node id), so consumers can join back for lineage.
+
+    Scale: one CC run (O(log d) hash shuffles, see
+    :func:`connected_components`), one join of the component table
+    against the quality table on id (both shuffle on id; the component
+    table is |paired docs| rows, far smaller than the corpus), one
+    max_by aggregation with map-side partials.
+    """
+    e = pairs.filter(F.col(sim_col) >= threshold).select("id_a", "id_b")
+    comp = connected_components(e)
+    q = quality.select(
+        F.col(id_col).alias("node"), F.col(score_col).alias("score")
+    )
+    best = (
+        comp.join(q, "node")
+        .groupBy("comp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("node")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select(
+            (-F.col("b.neg_id")).alias("keep_id"),
+            F.col("comp"),
+            F.col("b.score").alias("score"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    unpaired = (
+        ids.join(comp.select(F.col("node").alias("id")), "id", "left_anti")
+        .join(q.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            F.col("id").alias("keep_id"),
+            F.col("id").alias("comp"),
+            "score",
+        )
+    )
+    return best.union(unpaired)

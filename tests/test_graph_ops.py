@@ -167,3 +167,27 @@ FROM events l ASOF LEFT JOIN r
         if got[k] != want:
             mismatch += 1
     assert mismatch == 0
+
+
+def test_cc_keep_best_picks_max_score_per_cluster(spark):
+    from docling_plus_spark.operators.graph import cc_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    # clusters {1,2,3} and {4,5}; 6 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (4, 5, 0.8)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (6, 0.2)],
+        "doc_id long, score double",
+    )
+    rows = {r.keep_id: r for r in cc_dedup_keep_best(
+        df, pairs, quality, score_col="score"
+    ).collect()}
+    assert set(rows) == {2, 4, 6}          # best of {1,2,3}; tie 4 vs 5 -> min id; unpaired 6
+    assert rows[2].comp == 1
+    assert rows[4].comp == 4 and rows[4].score == 0.7
+    assert rows[6].comp == 6

@@ -571,6 +571,15 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction (operators/textstats.py:
+    inverted_index): posexplode → per-(term,doc) partial agg → term df
+    join, min_df=2 Zipf-tail pruning. Scalar posting rows."""
+    from docling_plus_spark.operators.textstats import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), "doc_id", "text", min_df=2)
+
+
 def _q_repetition_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.curation import repetition_strip
 
@@ -2040,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "robots_gate": _q_robots_gate,
         "cc_keep_best": _q_cc_keep_best,
+        "inverted_index": _q_inverted_index,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2385,6 +2395,10 @@ SELECT id_a, rk, id_b, cosine FROM (
         "tfidf_topk": _tfidf_oracle(),
         "char_lm_score": _char_lm_oracle(),
         "ccnet_buckets": _ccnet_oracle(),
+        "inverted_index": __import__(
+            "docling_plus_spark.operators.textstats",
+            fromlist=["inverted_index_sql"],
+        ).inverted_index_sql("doc_id", "text", min_df=2),
         "repetition_strip": _curation_oracle("repetition_strip"),
         "dsir_weights": _curation_oracle("dsir_weights"),
         "bloom_dedup": _curation_oracle("bloom_dedup"),

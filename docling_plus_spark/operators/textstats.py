@@ -186,3 +186,78 @@ JOIN unic ON substr(bg.bg, 1, 1) = unic.u
 CROSS JOIN v
 GROUP BY 1
 """
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """``(term, id, tf, first_pos, df)`` — scalarized posting lists.
+
+    The index-construction half of a corpus search layer (the shape
+    every batch indexer from the original MapReduce paper onward
+    builds): one explode of ``posexplode``-numbered terms, one partial-
+    agg shuffle to per-(term, doc) postings (tf + first occurrence
+    position), and one term-level aggregate for document frequency,
+    joined back on term. ``min_df`` prunes hapax terms before the
+    df join — at web scale the tail of df=1 terms dominates vocabulary
+    size (Zipf) while being useless for retrieval.
+
+    Rows are one per posting (term × doc), all scalar columns — a real
+    engine would route this to a partitioned sink bucketed by term;
+    the DataFrame here IS that sink's input, already term-shuffled.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), _terms(F.col(text_col)).alias("ts"))
+        .select("id", F.posexplode("ts").alias("pos", "term"))
+    )
+    postings = toks.groupBy("term", "id").agg(
+        F.count("*").alias("tf"), F.min("pos").alias("first_pos")
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    return postings.join(dfreq, "term").select(
+        "term", "id", "tf", "first_pos", "df"
+    )
+
+
+def inverted_index_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+    min_df: int = 1,
+) -> str:
+    """DuckDB twin of :func:`inverted_index` (same tokenizer contract
+    as :data:`TOKEN_SPLIT`)."""
+    return f"""
+WITH raw AS (
+  SELECT {id_expr} AS id,
+         string_split_regex(lower({text_expr}), '[^a-z0-9]+') AS ts
+  FROM {table}
+),
+-- position numbering over NON-EMPTY tokens only (split can emit ''
+-- at the boundaries): filter first, renumber with a window
+toks0 AS (
+  SELECT id, ts[i + 1] AS term, i
+  FROM raw, unnest(range(0, len(ts))) AS u(i)
+  WHERE ts[i + 1] <> ''
+),
+toks AS (
+  SELECT id, term,
+         row_number() OVER (PARTITION BY id ORDER BY i) - 1 AS pos
+  FROM toks0
+),
+postings AS (
+  SELECT term, id, count(*) AS tf, min(pos) AS first_pos
+  FROM toks GROUP BY term, id
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM postings GROUP BY term
+  HAVING count(*) >= {min_df}
+)
+SELECT p.term, p.id, p.tf, p.first_pos, d.df
+FROM postings p JOIN dfreq d USING (term)
+"""

@@ -85,3 +85,36 @@ def test_model_joins_broadcast(spark):
         )
     )
     assert plan.count("BroadcastHashJoin") >= 2 or plan.count("BroadcastNestedLoopJoin") >= 1
+
+
+def test_inverted_index_postings(spark):
+    from docling_plus_spark.operators.textstats import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog"),
+            (3, "a cat! a CAT"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.term, r.id): r for r in inverted_index(df, min_df=1).collect()
+    }
+    assert rows[("the", 1)].tf == 2
+    assert rows[("the", 1)].first_pos == 0
+    assert rows[("the", 1)].df == 2
+    assert rows[("cat", 3)].tf == 2          # case-folded
+    assert rows[("cat", 3)].first_pos == 1   # punctuation split
+    assert rows[("cat", 3)].df == 2
+    assert rows[("mat", 1)].df == 1
+
+
+def test_inverted_index_min_df_prunes(spark):
+    from docling_plus_spark.operators.textstats import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "x shared"), (2, "y shared")], "doc_id long, text string"
+    )
+    terms = {r.term for r in inverted_index(df, min_df=2).collect()}
+    assert terms == {"shared"}

@@ -183,18 +183,25 @@ def dsir_weights(
         target_filter.alias("is_target"),
         F.explode(_dsir_features(F.col(text_col), n_buckets)).alias("b"),
     )
-    raw = feats.groupBy("b").agg(F.count("*").alias("c_raw"))
+    # reduce ONCE to per-(doc, bucket) counts: every downstream table —
+    # raw/target bucket histograms, corpus totals, and the scoring pass
+    # — derives from this same aggregate, so Spark's ReuseExchange runs
+    # the explode+hash lineage a single time (4 passes before)
+    doc_b = feats.groupBy("id", "is_target", "b").agg(
+        F.count("*").alias("c")
+    )
+    raw = doc_b.groupBy("b").agg(F.sum("c").alias("c_raw"))
     tgt = (
-        feats.filter("is_target").groupBy("b").agg(F.count("*").alias("c_tgt"))
+        doc_b.filter("is_target").groupBy("b").agg(F.sum("c").alias("c_tgt"))
     )
     hist = (
         raw.join(tgt, "b", "left")
         .na.fill({"c_tgt": 0})
         .crossJoin(
             F.broadcast(
-                feats.agg(
-                    F.count("*").alias("n_raw"),
-                    F.count_if("is_target").alias("n_tgt"),
+                doc_b.agg(
+                    F.sum("c").alias("n_raw"),
+                    F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("n_tgt"),
                 )
             )
         )
@@ -207,11 +214,13 @@ def dsir_weights(
         )
     )
     return (
-        feats.join(F.broadcast(hist), "b")
+        doc_b.join(F.broadcast(hist), "b")
         .groupBy("id")
         .agg(
-            F.count("*").alias("n_feats"),
-            F.round(F.avg("llr"), 6).alias("weight"),
+            F.sum("c").alias("n_feats"),
+            F.round(
+                F.sum(F.col("c") * F.col("llr")) / F.sum("c"), 6
+            ).alias("weight"),
         )
     )
 

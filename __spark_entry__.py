@@ -571,6 +571,16 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.2 cross-n-gram repetition signals (operators/
+    quality.py:gopher_ngram_repetition): top-{2,3,4}-gram and
+    duplicate-{5..10}-gram char fractions + the rule verdict. One
+    explode over all 9 n sizes, counts-only shuffles."""
+    from docling_plus_spark.operators.quality import gopher_ngram_repetition
+
+    return gopher_ngram_repetition(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list construction (operators/textstats.py:
     inverted_index): posexplode → per-(term,doc) partial agg → term df
@@ -2050,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _q_robots_gate,
         "cc_keep_best": _q_cc_keep_best,
         "inverted_index": _q_inverted_index,
+        "gopher_repetition": _q_gopher_repetition,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2399,6 +2410,10 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.textstats",
             fromlist=["inverted_index_sql"],
         ).inverted_index_sql("doc_id", "text", min_df=2),
+        "gopher_repetition": __import__(
+            "docling_plus_spark.operators.quality",
+            fromlist=["gopher_ngram_repetition_sql"],
+        ).gopher_ngram_repetition_sql("doc_id", "text"),
         "repetition_strip": _curation_oracle("repetition_strip"),
         "dsir_weights": _curation_oracle("dsir_weights"),
         "bloom_dedup": _curation_oracle("bloom_dedup"),

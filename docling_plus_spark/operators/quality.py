@@ -453,3 +453,183 @@ SELECT {id_expr} AS id, {lang_expr} AS lang, {score_expr} AS score,
        ] AS bucket
 FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher A1.2 n-gram repetition signals (the cross-n-gram half; the
+# line-level half lives in gopher_signals)
+
+#: (threshold per n) — Rae et al. 2021 table A1.2: "fraction of
+#: characters in the most common n-gram" for n=2..4, "fraction of
+#: characters in duplicated n-grams" for n=5..10.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, top2..top4, dup5..dup10, repetition_pass)`` per document.
+
+    Character-fraction convention (stated once, shared with the DuckDB
+    twin): an n-gram's character length is the length of its tokens
+    joined by single spaces, and the doc's character total is the
+    length of all tokens joined by single spaces — so fractions are
+    exact rational numbers of the same integers on both engines.
+    ``top_n`` = count(most frequent n-gram) × its char length / total;
+    ``dup_n`` = Σ over n-grams seen >1 of count × char length / total
+    (the Dolma/NeMo-Curator accounting: overlaps double-count, which
+    upper-bounds the covered-position fraction). Fractions are capped
+    at 1.0. Docs with < n+1 tokens contribute 0 for that n.
+
+    Scale shape: one explode over 9 n sizes (≈9 rows per token), one
+    (id, n, gram) partial-agg shuffle — counts, never text, cross the
+    wire twice more ((id,n) stats, then per-id pivot). Tokenization:
+    whitespace runs, matching gopher_signals' contract.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.length(F.concat_ws(" ", toks)).alias("total_chars"),
+    )
+    # all 9 n sizes in ONE projection + ONE explode (not a 9-way union,
+    # which would scan the input nine times)
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+
+    # NB: the lambda must take exactly ONE parameter — F.transform
+    # passes (element, index) to two-parameter lambdas, which would
+    # silently rebind a `_n=n` capture-default to the array index
+    def _gram_at(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(F.col("toks"), i, n)).alias("gram"),
+        )
+
+    arrs = []
+    for n in range(2, 11):
+        arrs.append(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    _gram_at(n),
+                ),
+            ).otherwise(empty)
+        )
+    grams = base.select(
+        "id", F.explode(F.flatten(F.array(*arrs))).alias("g")
+    ).select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    cnt = grams.groupBy("id", "n", "gram").agg(F.count("*").alias("c"))
+    stats = (
+        cnt.select("id", "n", "c", F.length("gram").alias("glen"))
+        .groupBy("id", "n")
+        .agg(
+            F.max(F.struct("c", "glen")).alias("top"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dupchars"),
+        )
+    )
+
+    def frac(num: Column) -> Column:
+        return F.round(
+            F.least(
+                F.lit(1.0), num / F.greatest(F.col("total_chars"), F.lit(1))
+            ),
+            6,
+        )
+
+    agg_cols, pass_checks = [], []
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        col = F.max(
+            F.when(F.col("n") == n, F.col("top.c") * F.col("top.glen"))
+        )
+        agg_cols.append(col.alias(f"_t{n}"))
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        col = F.max(F.when(F.col("n") == n, F.col("dupchars")))
+        agg_cols.append(col.alias(f"_d{n}"))
+    pivoted = (
+        base.select("id", "total_chars")
+        .join(stats, "id", "left")
+        .groupBy("id", "total_chars")
+        .agg(*agg_cols)
+    )
+    out_cols = [F.col("id")]
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        f = frac(F.coalesce(F.col(f"_t{n}"), F.lit(0)))
+        out_cols.append(f.alias(f"top{n}"))
+        pass_checks.append(f <= thr)
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        f = frac(F.coalesce(F.col(f"_d{n}"), F.lit(0)))
+        out_cols.append(f.alias(f"dup{n}"))
+        pass_checks.append(f <= thr)
+    ok = pass_checks[0]
+    for c in pass_checks[1:]:
+        ok = ok & c
+    return pivoted.select(*out_cols, ok.alias("repetition_pass"))
+
+
+def gopher_ngram_repetition_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`gopher_ngram_repetition`."""
+    gram_selects = []
+    for n in range(2, 11):
+        gram_selects.append(f"""
+  SELECT id, {n} AS n,
+         array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+  FROM base, unnest(range(1, len(toks) - {n} + 2)) AS u(i)
+  WHERE len(toks) >= {n}""")
+    grams = "\nUNION ALL".join(gram_selects)
+    top_cols, dup_cols, checks = [], [], []
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        e = (
+            f"round(least(1.0, coalesce(max(CASE WHEN n = {n} "
+            f"THEN topchars END), 0)::double / greatest(total_chars, 1)), 6)"
+        )
+        top_cols.append(f"{e} AS top{n}")
+        checks.append(f"{e} <= {thr}")
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        e = (
+            f"round(least(1.0, coalesce(max(CASE WHEN n = {n} "
+            f"THEN dupchars END), 0)::double / greatest(total_chars, 1)), 6)"
+        )
+        dup_cols.append(f"{e} AS dup{n}")
+        checks.append(f"{e} <= {thr}")
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id,
+         string_split_regex(trim({text_expr}), '\\s+') AS toks,
+         length(array_to_string(string_split_regex(trim({text_expr}), '\\s+'), ' ')) AS total_chars
+  FROM {table}
+),
+grams AS ({grams}
+),
+cnt AS (
+  SELECT id, n, gram, count(*) AS c, length(gram) AS glen
+  FROM grams GROUP BY id, n, gram
+),
+stats AS (
+  SELECT id, n,
+         max(struct_pack(c := c, glen := glen)) AS top,
+         sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dupchars
+  FROM cnt GROUP BY id, n
+),
+j AS (
+  SELECT b.id, b.total_chars, s.n,
+         s.top.c * s.top.glen AS topchars, s.dupchars
+  FROM base b LEFT JOIN stats s ON s.id = b.id
+)
+SELECT id,
+       {", ".join(top_cols)},
+       {", ".join(dup_cols)},
+       ({" AND ".join(checks)}) AS repetition_pass
+FROM j GROUP BY id, total_chars
+"""

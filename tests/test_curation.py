@@ -165,3 +165,51 @@ def test_ccnet_cutpoints_agrees_on_spread_scores(spark):
     # boundary docs may differ
     diffs = [i for i in exact if exact[i] != approx[i]]
     assert len(diffs) <= 2
+
+
+# -------------------------------------------------- gopher n-gram repetition
+
+
+def test_gopher_ngram_repetition_values(spark):
+    from docling_plus_spark.operators.quality import gopher_ngram_repetition
+
+    # "x y" appears 3x; total chars = len joined
+    text = "x y a x y b x y c"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_ngram_repetition(df).collect()[0]
+    total = len(text)
+    # top 2-gram "x y": count 3, len 3
+    assert r.top2 == round(3 * 3 / total, 6)
+    # no 5-gram repeats
+    assert r.dup5 == 0.0
+    assert r.repetition_pass is False  # top2 0.529 > 0.20
+
+
+def test_gopher_ngram_repetition_clean_doc_passes(spark):
+    from docling_plus_spark.operators.quality import gopher_ngram_repetition
+
+    words = " ".join(f"w{i}" for i in range(60))  # all n-grams unique
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    r = gopher_ngram_repetition(df).collect()[0]
+    assert r.dup5 == 0.0 and r.dup10 == 0.0
+    assert r.repetition_pass is True
+
+
+def test_gopher_ngram_repetition_pathological_repeat(spark):
+    from docling_plus_spark.operators.quality import gopher_ngram_repetition
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 40)], "doc_id long, text string"
+    )
+    r = gopher_ngram_repetition(df).collect()[0]
+    assert r.top2 > 0.9 and r.dup10 == 1.0
+    assert r.repetition_pass is False
+
+
+def test_gopher_ngram_repetition_short_doc(spark):
+    from docling_plus_spark.operators.quality import gopher_ngram_repetition
+
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    r = gopher_ngram_repetition(df).collect()[0]
+    # only a single 2-gram exists; n>=3 contribute zero
+    assert r.top3 == 0.0 and r.dup5 == 0.0

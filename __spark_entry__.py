@@ -571,6 +571,31 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/webclean.py:crawl_diff): old = all
+    docs; new drops doc_id%7==0 (gone), rewrites text for %5==0
+    (changed), adds +1000000 ids for %11==0 (new). One full-outer
+    hash join on url carrying hashes only."""
+    from docling_plus_spark.operators.webclean import crawl_diff
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://synth.test/doc/"), F.col("doc_id").cast("string"))
+    old = d.select(url.alias("url"), F.md5(F.col("text")).alias("doc_hash"))
+    kept = d.filter(F.pmod("doc_id", F.lit(7)) != 0)
+    new_hash = F.when(
+        F.pmod("doc_id", F.lit(5)) == 0, F.md5(F.concat(F.col("text"), F.lit("v2")))
+    ).otherwise(F.md5(F.col("text")))
+    new = kept.select(url.alias("url"), new_hash.alias("doc_hash"))
+    added = d.filter(F.pmod("doc_id", F.lit(11)) == 0).select(
+        F.concat(
+            F.lit("https://synth.test/doc/"),
+            (F.col("doc_id") + 1000000).cast("string"),
+        ).alias("url"),
+        F.md5(F.col("text")).alias("doc_hash"),
+    )
+    return crawl_diff(old, new.unionByName(added))
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1.2 cross-n-gram repetition signals (operators/
     quality.py:gopher_ngram_repetition): top-{2,3,4}-gram and
@@ -2061,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_keep_best": _q_cc_keep_best,
         "inverted_index": _q_inverted_index,
         "gopher_repetition": _q_gopher_repetition,
+        "crawl_diff": _q_crawl_diff,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2410,6 +2436,29 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.textstats",
             fromlist=["inverted_index_sql"],
         ).inverted_index_sql("doc_id", "text", min_df=2),
+        "crawl_diff": """
+WITH old AS (
+  SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
+         md5(text) AS old_hash
+  FROM documents
+),
+new AS (
+  SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
+         CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS new_hash
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'https://synth.test/doc/' || (doc_id + 1000000)::varchar,
+         md5(text)
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(old.url, new.url) AS url,
+       CASE WHEN old.old_hash IS NULL THEN 'new'
+            WHEN new.new_hash IS NULL THEN 'gone'
+            WHEN old.old_hash <> new.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       old.old_hash, new.new_hash
+FROM old FULL OUTER JOIN new ON old.url = new.url
+""",
         "gopher_repetition": __import__(
             "docling_plus_spark.operators.quality",
             fromlist=["gopher_ngram_repetition_sql"],

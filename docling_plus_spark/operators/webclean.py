@@ -462,3 +462,39 @@ SELECT host, count(*) AS n_docs, sum(toks)::bigint AS total_tokens,
        min(id) AS min_id
 FROM c GROUP BY host
 """
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "doc_hash",
+) -> DataFrame:
+    """``(url, change, old_hash, new_hash)`` between two crawl snapshots.
+
+    The monthly-snapshot question every incremental pipeline asks
+    before spending conversion compute: which urls are ``new``, which
+    are ``gone``, which re-fetched ``changed`` (content hash differs),
+    which are ``unchanged`` (skip them — the previous epoch's output is
+    still valid, see plans/incremental.py for the resume machinery this
+    feeds). One full-outer shuffle join on url; at 10^12 urls both
+    sides bucket by url on disk so the join is co-located with zero
+    exchange — and the shuffle rows carry two hashes, never content.
+    """
+    o = old.select(
+        F.col(url_col).alias("url"), F.col(hash_col).alias("old_hash")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.col(hash_col).alias("new_hash")
+    )
+    j = o.join(n, "url", "full_outer")
+    return j.select(
+        "url",
+        F.when(F.col("old_hash").isNull(), F.lit("new"))
+        .when(F.col("new_hash").isNull(), F.lit("gone"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+        "old_hash",
+        "new_hash",
+    )

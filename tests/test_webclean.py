@@ -291,3 +291,20 @@ def test_host_stats_matches_duckdb(spark, ddb):
         assert sp[rec["host"]] == (
             rec["n_docs"], rec["total_tokens"], rec["min_id"],
         )
+
+
+def test_crawl_diff_statuses(spark):
+    from docling_plus_spark.operators.webclean import crawl_diff
+
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")],
+        "url string, doc_hash string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2x"), ("u4", "h4")],
+        "url string, doc_hash string",
+    )
+    out = {r.url: r.change for r in crawl_diff(old, new).collect()}
+    assert out == {
+        "u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new",
+    }

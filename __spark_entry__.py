@@ -571,6 +571,40 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT head-metadata extraction (operators/links.py:
+    extract_head_meta): title/description/og:title/canonical/lang as
+    whole-stage-codegen regexp columns over raw bytes — no DOM build.
+    Synth heads are formula-driven; every 4th page omits og/canonical
+    (absent → '')."""
+    from docling_plus_spark.operators.links import extract_head_meta
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    extra = F.when(
+        F.pmod(i, 4) != 0,
+        F.concat(
+            F.lit('<meta property="og:title" content="OG '),
+            i.cast("string"),
+            F.lit('"/><link rel="canonical" href="https://canon.test/doc/'),
+            i.cast("string"),
+            F.lit('"/>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"),
+        F.lit('"><head><title> Doc '), i.cast("string"),
+        F.lit(' </title><meta name="description" content="About '),
+        i.cast("string"), F.lit('">'), extra,
+        F.lit("</head><body><p>x</p></body></html>"),
+    ).cast("binary")
+    pages = d.select(
+        F.concat(F.lit("https://synth.test/doc/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_head_meta(pages)
+
+
 def _q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/webclean.py:crawl_diff): old = all
     docs; new drops doc_id%7==0 (gone), rewrites text for %5==0
@@ -2087,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "gopher_repetition": _q_gopher_repetition,
         "crawl_diff": _q_crawl_diff,
+        "meta_extract": _q_meta_extract,
         # -- round-2 additions that fell outside the r2 window --
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
@@ -2436,6 +2471,16 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.textstats",
             fromlist=["inverted_index_sql"],
         ).inverted_index_sql("doc_id", "text", min_df=2),
+        "meta_extract": """
+SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
+       'Doc ' || doc_id::varchar AS title,
+       'About ' || doc_id::varchar AS meta_description,
+       CASE WHEN doc_id % 4 <> 0 THEN 'OG ' || doc_id::varchar ELSE '' END AS og_title,
+       CASE WHEN doc_id % 4 <> 0
+            THEN 'https://canon.test/doc/' || doc_id::varchar ELSE '' END AS canonical,
+       lang AS html_lang
+FROM documents
+""",
         "crawl_diff": """
 WITH old AS (
   SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,

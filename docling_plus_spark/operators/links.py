@@ -222,3 +222,57 @@ def _pagerank_loop(
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# head-metadata extraction (the WAT layer's third payload)
+
+_META_NAME = (
+    r'(?i)<meta\s[^>]*?name\s*=\s*["\']{0}["\'][^>]*?content\s*=\s*["\']([^"\']*)'
+)
+_META_PROP = (
+    r'(?i)<meta\s[^>]*?property\s*=\s*["\']{0}["\'][^>]*?content\s*=\s*["\']([^"\']*)'
+)
+
+
+def extract_head_meta(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """``(url, title, meta_description, og_title, canonical, html_lang)``.
+
+    Common Crawl's WAT records carry exactly this per-page head
+    metadata (Head-Metas, Title, Link rel=canonical); it feeds search
+    snippets, URL canonicalization (canonical beats the fetch url when
+    present) and language routing before any body parse is paid for.
+    Pure ``regexp_extract`` column expressions over the raw bytes —
+    whole-stage codegen, no DOM build, no Python, no shuffle; absent
+    fields are empty strings. Attribute-order variants (content before
+    name/property) are the documented trade for staying in codegen —
+    the DOM-parsing backend (html/backend.py) is the fallback when
+    exactness beats throughput.
+    """
+    s = F.col(html_col).cast("string")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        # NB: Spark's trim() strips only ' ' — titles wrap across
+        # lines, so trim all leading/trailing whitespace by regex
+        F.regexp_replace(
+            F.regexp_extract(s, r"(?is)<title[^>]*>(.*?)</title>", 1),
+            r"^\s+|\s+$",
+            "",
+        ).alias("title"),
+        F.regexp_extract(s, _META_NAME.format("description"), 1).alias(
+            "meta_description"
+        ),
+        F.regexp_extract(s, _META_PROP.format("og:title"), 1).alias("og_title"),
+        F.regexp_extract(
+            s,
+            r'(?i)<link\s[^>]*?rel\s*=\s*["\']canonical["\'][^>]*?href\s*=\s*["\']([^"\']*)',
+            1,
+        ).alias("canonical"),
+        F.regexp_extract(
+            s, r'(?i)<html\s[^>]*?lang\s*=\s*["\']([^"\']*)', 1
+        ).alias("html_lang"),
+    )

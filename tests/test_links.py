@@ -143,3 +143,31 @@ def test_anchor_text_stats_mode_and_ties(spark):
     assert rows["d1"].top_anchor_count == 2
     assert rows["d2"].top_anchor == "a"
     assert rows["d2"].top_anchor_count == 1
+
+
+def test_extract_head_meta_fields(spark):
+    from docling_plus_spark.operators.links import extract_head_meta
+
+    html = (
+        '<html lang="de"><head><title>\n  My Page \n</title>'
+        "<meta charset='utf-8'>"
+        '<meta name="description" content="desc here">'
+        '<meta property="og:title" content="OG Name"/>'
+        '<link rel="canonical" href="https://c.test/page"/>'
+        "</head><body></body></html>"
+    )
+    r = extract_head_meta(_pages(spark, html)).collect()[0]
+    assert r.title == "My Page"
+    assert r.meta_description == "desc here"
+    assert r.og_title == "OG Name"
+    assert r.canonical == "https://c.test/page"
+    assert r.html_lang == "de"
+
+
+def test_extract_head_meta_absent_fields_empty(spark):
+    from docling_plus_spark.operators.links import extract_head_meta
+
+    r = extract_head_meta(_pages(spark, "<html><body>x</body></html>")).collect()[0]
+    assert (r.title, r.meta_description, r.og_title, r.canonical, r.html_lang) == (
+        "", "", "", "", "",
+    )

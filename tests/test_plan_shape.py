@@ -204,3 +204,89 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange") <= 3  # two union legs + window partitioning
+
+
+def test_span_offsets_zero_exchanges(spark):
+    """The span stage is a strict row-explosion of the page scan — any
+    Exchange in its plan would be a scale bug."""
+    from docling_plus_spark.operators.spans import span_offsets_stage
+
+    pages = spark.createDataFrame(
+        [("u", bytearray(b"<p>x</p>"))], "url string, html binary"
+    )
+    plan = _plan(span_offsets_stage(pages))
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_robots_gate_broadcasts_rules_no_page_shuffle(spark):
+    """Rules are O(#hosts) → must broadcast; the page side must reach
+    the join without any Exchange."""
+    from docling_plus_spark.operators.robots import robots_gate, robots_rules
+
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("https://h.test", "User-agent: *\nDisallow: /p")],
+            "host string, robots_txt string",
+        )
+    )
+    pages = spark.createDataFrame([("https://h.test/a",)], "url string")
+    plan = _plan(robots_gate(pages, rules))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "Exchange hashpartitioning" not in plan, plan[:1200]
+
+
+def test_substring_dedup_shuffles_never_carry_text(spark):
+    """Both k-gram exchanges move (hash, pos, id) tuples — the text
+    column must stay out of every Exchange."""
+    from docling_plus_spark.operators.substring import (
+        strip_duplicate_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    plan = _plan(strip_duplicate_substrings(docs, k=3))
+    blocks = [b for b in plan.split("\n\n") if b.startswith("(")]
+    # formatted mode lists operator details; find Exchange argument lines
+    for ln in plan.splitlines():
+        if "Arguments: hashpartitioning" in ln:
+            assert "text" not in ln, ln
+
+
+def test_anchor_stats_partial_aggregation(spark):
+    """Both anchor aggregations must show map-side partial_ functions
+    before their exchanges."""
+    from docling_plus_spark.operators.links import anchor_text_stats
+
+    edges = spark.createDataFrame(
+        [("s", "d", "a")], "src string, dst string, anchor string"
+    )
+    plan = _plan(anchor_text_stats(edges))
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:1200]
+
+
+def test_gopher_repetition_single_scan_single_explode(spark):
+    """All 9 n sizes ride ONE Generate over ONE scan (a 9-way union
+    would re-read the corpus nine times)."""
+    from docling_plus_spark.operators.quality import gopher_ngram_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    plan = _plan(gopher_ngram_repetition(docs))
+    assert plan.count("Generate") <= 2, plan[:1500]
+
+
+def test_ccnet_cutpoints_variant_has_no_sort(spark):
+    """The 100 TB bucket-assignment path must not global-sort: no Sort
+    outside a broadcast build side, cutpoints joined by broadcast."""
+    from docling_plus_spark.operators.quality import (
+        ccnet_buckets_by_cutpoints,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, "en", 0.5)], "id long, lang string, mean_nll double"
+    )
+    plan = _plan(ccnet_buckets_by_cutpoints(scored))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan

@@ -100,3 +100,37 @@ def test_gate_equal_length_tie_allow_wins(spark):
     body = "User-agent: *\nDisallow: /ab\nAllow: /ab\n"
     out = _gate(spark, body, ["/abc"])
     assert out["/abc"][0] is True
+
+
+def test_rule_path_regex_specials_are_literal(spark):
+    body = "User-agent: *\nDisallow: /a.b+c(d)\n"
+    out = _gate(spark, body, ["/a.b+c(d)x", "/aXbbcd"])
+    assert out["/a.b+c(d)x"][0] is False      # literal prefix match
+    assert out["/aXbbcd"][0] is True          # '.'/'+' are NOT regex here
+
+
+def test_midstring_dollar_is_literal(spark):
+    body = "User-agent: *\nDisallow: /a$b\n"
+    out = _gate(spark, body, ["/a$bc", "/ab"])
+    assert out["/a$bc"][0] is False
+    assert out["/ab"][0] is True
+
+
+def test_hostile_robots_bodies_never_raise(spark):
+    bodies = [
+        "",                                   # empty
+        ":" * 1000,                           # colon spam
+        "Disallow: /x\n",                     # rules before any agent
+        "User-agent: *\n" + "Disallow: /p\n" * 500,   # rule spam
+        "User-agent: *\nDisallow: " + "*" * 50 + "\n",  # wildcard spam
+        "\x00\x01\x02 binary junk \xff",
+    ]
+    df = spark.createDataFrame(
+        [(f"https://h{i}.test", b) for i, b in enumerate(bodies)],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(df)
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.test/p",) for i in range(len(bodies))], "url string"
+    )
+    assert robots_gate(pages, rules).count() == len(bodies)

@@ -571,6 +571,25 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-bounded crawl schedule (operators/links.py:
+    frontier_schedule): per-host best-priority-first row numbering,
+    fetch_round = rank // budget. One window shuffle on host."""
+    from docling_plus_spark.operators.links import frontier_schedule
+
+    d = _docs(spark, sf_dir)
+    cand = d.select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit(".test/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.pmod(F.col("doc_id") * 13, F.lit(97)).cast("double").alias("priority"),
+    )
+    return frontier_schedule(cand, per_host_per_round=4)
+
+
 def _q_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT head-metadata extraction (operators/links.py:
     extract_head_meta): title/description/og:title/canonical/lang as
@@ -2196,6 +2215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,
         "csv_extract": _q_csv_extract,
         "md_extract": _q_md_extract,
+        # -- registry tail: added after the r3 window was finalized;
+        #    oracle-checked locally, to be re-curated into the r4 window
+        "frontier_schedule": _q_frontier_schedule,
     }
 
 
@@ -2471,6 +2493,18 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.textstats",
             fromlist=["inverted_index_sql"],
         ).inverted_index_sql("doc_id", "text", min_df=2),
+        "frontier_schedule": """
+WITH cand AS (
+  SELECT 'https://h' || (doc_id % 7)::varchar || '.test/doc/' || doc_id::varchar AS url,
+         'h' || (doc_id % 7)::varchar || '.test' AS host,
+         ((doc_id * 13) % 97)::double AS priority
+  FROM documents
+)
+SELECT url, host,
+       (row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) - 1)::int AS host_rank,
+       ((row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) - 1) // 4)::int AS fetch_round
+FROM cand
+""",
         "meta_extract": """
 SELECT 'https://synth.test/doc/' || doc_id::varchar AS url,
        'Doc ' || doc_id::varchar AS title,

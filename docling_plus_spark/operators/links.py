@@ -276,3 +276,54 @@ def extract_head_meta(
             s, r'(?i)<html\s[^>]*?lang\s*=\s*["\']([^"\']*)', 1
         ).alias("html_lang"),
     )
+
+
+def frontier_schedule(
+    candidates: DataFrame,
+    per_host_per_round: int = 4,
+    url_col: str = "url",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """``(url, host, host_rank, fetch_round)`` — a politeness-bounded
+    crawl schedule.
+
+    The frontier question: given scored candidate urls (priority =
+    PageRank / freshness / whatever :func:`pagerank` produced), in
+    which fetch round may each be crawled so that no host sees more
+    than ``per_host_per_round`` requests per round? Within a host,
+    urls are taken best-priority-first (ties → lexicographic url, so
+    the schedule is engine-independent); round = ``rank //
+    per_host_per_round``.
+
+    Scale: one window shuffle keyed on host. Mega-hosts (the CC crawl's
+    top domains hold 10^7+ urls) concentrate a partition each — but the
+    window only row-numbers (no per-host materialization), and AQE's
+    skew splitting cannot apply to windows, so the honest guard at
+    10^12 urls is the standard one: cap candidates per host FIRST
+    (a groupBy-count broadcast + filter) or salt the window into
+    priority-band sub-windows. The cap is what production frontiers do
+    anyway (crawl budgets per domain), so this operator composes after
+    such a cap rather than re-implementing it.
+    """
+    from pyspark.sql.window import Window
+
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    w = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc(), F.col(url_col)
+    )
+    return (
+        candidates.select(
+            F.col(url_col).alias("url"),
+            host.alias("host"),
+            F.col(priority_col).alias("priority"),
+        )
+        .withColumn("host_rank", F.row_number().over(w) - 1)
+        .select(
+            "url",
+            "host",
+            "host_rank",
+            (F.col("host_rank") / per_host_per_round).cast("int").alias(
+                "fetch_round"
+            ),
+        )
+    )

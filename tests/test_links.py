@@ -171,3 +171,24 @@ def test_extract_head_meta_absent_fields_empty(spark):
     assert (r.title, r.meta_description, r.og_title, r.canonical, r.html_lang) == (
         "", "", "", "", "",
     )
+
+
+def test_frontier_schedule_politeness_rounds(spark):
+    from docling_plus_spark.operators.links import frontier_schedule
+
+    cand = spark.createDataFrame(
+        [(f"https://big.test/p{i}", float(i)) for i in range(10)]
+        + [("https://small.test/x", 99.0)],
+        "url string, priority double",
+    )
+    rows = {r.url: r for r in frontier_schedule(cand, per_host_per_round=4).collect()}
+    # big.test: highest priority p9 first
+    assert rows["https://big.test/p9"].host_rank == 0
+    assert rows["https://big.test/p9"].fetch_round == 0
+    assert rows["https://big.test/p5"].fetch_round == 1   # rank 4
+    assert rows["https://big.test/p0"].fetch_round == 2   # rank 9
+    assert rows["https://small.test/x"].fetch_round == 0
+    # no host exceeds the budget in any round
+    from collections import Counter
+    c = Counter((r.host, r.fetch_round) for r in rows.values())
+    assert max(c.values()) <= 4

@@ -571,6 +571,15 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-round pair counting (operators/webclean.py:
+    bpe_merge_pairs): distinct-word freq table first (vocab-sized
+    shuffle), char pairs weighted by word freq, deterministic top-20."""
+    from docling_plus_spark.operators.webclean import bpe_merge_pairs
+
+    return bpe_merge_pairs(_docs(spark, sf_dir), top_k=20)
+
+
 def _q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-bounded crawl schedule (operators/links.py:
     frontier_schedule): per-host best-priority-first row numbering,
@@ -2218,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- registry tail: added after the r3 window was finalized;
         #    oracle-checked locally, to be re-curated into the r4 window
         "frontier_schedule": _q_frontier_schedule,
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
     }
 
 
@@ -2493,6 +2503,10 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.textstats",
             fromlist=["inverted_index_sql"],
         ).inverted_index_sql("doc_id", "text", min_df=2),
+        "bpe_merge_pairs": __import__(
+            "docling_plus_spark.operators.webclean",
+            fromlist=["bpe_merge_pairs_sql"],
+        ).bpe_merge_pairs_sql(top_k=20),
         "frontier_schedule": """
 WITH cand AS (
   SELECT 'https://h' || (doc_id % 7)::varchar || '.test/doc/' || doc_id::varchar AS url,

@@ -498,3 +498,98 @@ def crawl_diff(
         "old_hash",
         "new_hash",
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(rank, left, right, pair_count)`` — one BPE merge round's
+    candidate table (Sennrich et al., ACL 2016, over character symbols).
+
+    The distributed heart of tokenizer training. The scale trick is the
+    same one every BPE trainer uses and the one that matters at 100 TB:
+    aggregate the corpus to a **distinct-word frequency table first**
+    (one shuffle whose key space is the vocabulary, ~10^7 rows under
+    Zipf — not the 10^12-document corpus), then count symbol pairs over
+    distinct words weighted by frequency. Pair counting therefore
+    touches each distinct word once regardless of corpus size; the
+    per-word char-pair explode is narrow; the final pair aggregation is
+    a second vocabulary-sized shuffle. Ties rank deterministically
+    (count desc, then (left, right) asc), so the merge chosen is
+    engine-independent.
+
+    Lowercased whitespace tokenization (the BPE pre-tokenizer contract
+    here; the GPT-2 regex variant lives in :func:`bpe_token_stats`).
+    """
+    from pyspark.sql.window import Window
+
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.split(F.col("word"), "")
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size(chars) >= 2,
+                F.zip_with(
+                    F.slice(chars, 1, F.size(chars) - 1),
+                    F.slice(chars, 2, F.size(chars) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("p"),
+    )
+    counts = pairs.groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right")).agg(
+        F.sum("freq").alias("pair_count")
+    )
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("left"), F.col("right")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "left", "right", "pair_count")
+    )
+
+
+def bpe_merge_pairs_sql(
+    top_k: int = 20,
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bpe_merge_pairs`."""
+    return f"""
+WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM {table}, unnest(string_split_regex(lower({text_expr}), '\\s+')) AS t(w)
+  WHERE w <> ''
+  GROUP BY w
+),
+pairs AS (
+  SELECT freq, chars[i + 1] AS l, chars[i + 2] AS r
+  FROM (SELECT freq, string_split(word, '') AS chars FROM words),
+       unnest(range(0, len(chars) - 1)) AS u(i)
+  WHERE len(chars) >= 2
+),
+counts AS (
+  SELECT l AS "left", r AS "right", sum(freq) AS pair_count
+  FROM pairs GROUP BY l, r
+)
+SELECT rank, "left", "right", pair_count FROM (
+  SELECT row_number() OVER (ORDER BY pair_count DESC, "left", "right") AS rank,
+         "left", "right", pair_count
+  FROM counts
+) WHERE rank <= {top_k}
+"""

@@ -308,3 +308,27 @@ def test_crawl_diff_statuses(spark):
     assert out == {
         "u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new",
     }
+
+
+def test_bpe_merge_pairs_counts_weighted_by_word_freq(spark):
+    from docling_plus_spark.operators.webclean import bpe_merge_pairs
+
+    # "aa ab aa" + "aa" -> word freqs: aa:3, ab:1
+    df = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "aa")], "doc_id long, text string"
+    )
+    rows = {(r.left, r.right): r for r in bpe_merge_pairs(df, top_k=10).collect()}
+    assert rows[("a", "a")].pair_count == 3
+    assert rows[("a", "b")].pair_count == 1
+    assert rows[("a", "a")].rank == 1
+
+
+def test_bpe_merge_pairs_deterministic_tie_break(spark):
+    from docling_plus_spark.operators.webclean import bpe_merge_pairs
+
+    df = spark.createDataFrame([(1, "xy ab")], "doc_id long, text string")
+    rows = sorted(
+        bpe_merge_pairs(df, top_k=10).collect(), key=lambda r: r.rank
+    )
+    # equal counts -> lexicographic (left, right)
+    assert [(r.left, r.right) for r in rows] == [("a", "b"), ("x", "y")]

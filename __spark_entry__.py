@@ -571,6 +571,25 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall register propagation (operators/graph.py:
+    hyperball_registers) — the HLL-counter BFS behind Common Crawl's
+    harmonic-centrality ranking (Boldi & Vigna 2013). 4 rounds over the
+    formula-driven link graph; registers are integer-exact and matched
+    register-for-register by the unrolled DuckDB CTE chain."""
+    from docling_plus_spark.operators.graph import hyperball_registers
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    i = F.col("doc_id")
+    e = d.select(
+        i.alias("src"), F.pmod(i * 7 + 13, F.lit(n)).alias("dst")
+    ).unionByName(
+        d.select(i.alias("src"), F.pmod(i * 7 + 26, F.lit(n)).alias("dst"))
+    )
+    return hyperball_registers(e, m=16, rounds=4)
+
+
 def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-round pair counting (operators/webclean.py:
     bpe_merge_pairs): distinct-word freq table first (vocab-sized
@@ -2228,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    oracle-checked locally, to be re-curated into the r4 window
         "frontier_schedule": _q_frontier_schedule,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
+        "hyperball": _q_hyperball,
     }
 
 
@@ -2503,6 +2523,20 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.textstats",
             fromlist=["inverted_index_sql"],
         ).inverted_index_sql("doc_id", "text", min_df=2),
+        "hyperball": __import__(
+            "docling_plus_spark.operators.graph",
+            fromlist=["hyperball_registers_sql"],
+        ).hyperball_registers_sql(
+            """
+SELECT doc_id AS src, (doc_id*7+13) % (SELECT count(*) FROM documents) AS dst
+FROM documents
+UNION ALL
+SELECT doc_id, (doc_id*7+26) % (SELECT count(*) FROM documents)
+FROM documents
+""",
+            m=16,
+            rounds=4,
+        ),
         "bpe_merge_pairs": __import__(
             "docling_plus_spark.operators.webclean",
             fromlist=["bpe_merge_pairs_sql"],

@@ -281,3 +281,166 @@ def cc_dedup_keep_best(
         )
     )
     return best.union(unpaired)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall (Boldi & Vigna, 2013) — the sketch behind Common Crawl's
+# harmonic-centrality ranking
+
+#: register hash layout: 60-bit md5_long → low bits pick the bucket,
+#: the remaining W bits feed the leading-zero rank.
+_HB_MD5_BITS = 60  # md5_long width; W = 60 - log2(m) rank bits remain
+
+
+def hyperball_registers(
+    edges: DataFrame,
+    m: int = 16,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``(node, bucket, register)`` — HyperLogLog registers of each
+    node's out-ball of radius ``rounds``.
+
+    HyperBall is how web-graph centralities are actually computed at
+    10^12 nodes (Boldi & Vigna 2013; Common Crawl's published harmonic
+    ranks use it): instead of materializing neighborhoods, every node
+    keeps an m-register HLL counter of its ball, and one BFS round is
+    "take the register-wise max over your successors' counters" — a
+    join + groupBy-max per round, nothing else. Registers are small
+    integers, so the whole iteration state for 10^12 nodes × m=64 is a
+    few TB of bytes, and each round is exactly one edge-sized shuffle
+    (same budget as a PageRank round, see :func:`..links.pagerank`).
+
+    Everything here is integer-exact and cross-engine reproducible:
+    node hash = md5_long (functions/expressions.py:291), bucket = low
+    ``log2 m`` bits, rank = leading-zero count of the remaining
+    remaining rank bits + 1 computed via the *binary-string length* (no
+    float log2 — exact on both engines). The DuckDB oracle unrolls the
+    fixed round count as a CTE chain and matches register-for-register;
+    :func:`hyperball_estimate` turns registers into ball-size /
+    centrality estimates (narrow map, unit-tested against exact BFS).
+    """
+    spark = edges.sparkSession
+    _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(_CONSTRAINT_CONF, "true")
+    spark.conf.set(_CONSTRAINT_CONF, "false")
+    try:
+        return _hyperball_loop(edges, m, rounds, src, dst)
+    finally:
+        spark.conf.set(_CONSTRAINT_CONF, prev)
+
+
+def _hb_rho(h: Column, m: int) -> Column:
+    """Leading-zero rank of the post-bucket hash bits, 1-based.
+
+    Integer-exact: ``h >> log2(m)`` (no double division — a 60-bit
+    value exceeds double precision) and bit-length via the ``bin()``
+    string length on both engines.
+    """
+    p = m.bit_length() - 1
+    W = _HB_MD5_BITS - p
+    w = F.shiftright(h, p)
+    return F.when(w > 0, F.lit(W + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(W + 1)
+    ).cast("int")
+
+
+def _hyperball_loop(
+    edges: DataFrame, m: int, rounds: int, src: str, dst: str
+) -> DataFrame:
+    from docling_plus_spark.functions.expressions import md5_long
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    h = md5_long(F.col("node").cast("string"))
+    reg = nodes.select(
+        "node",
+        h.bitwiseAND(F.lit(m - 1)).cast("int").alias("bucket"),
+        _hb_rho(h, m).alias("register"),
+    )
+    for _ in range(rounds):
+        succ = (
+            e.join(reg, e["dst"] == reg["node"])
+            .select(
+                F.col("src").alias("node"), "bucket", "register"
+            )
+        )
+        reg = (
+            reg.unionByName(succ)
+            .groupBy("node", "bucket")
+            .agg(F.max("register").alias("register"))
+            .localCheckpoint(eager=True)
+        )
+    return reg
+
+
+def hyperball_estimate(registers: DataFrame, m: int = 16) -> DataFrame:
+    """``(node, est_ball)`` — HLL estimate per node from its registers:
+    ``alpha_m * m^2 / sum(2^-register)`` with the standard small-range
+    linear-counting correction (Flajolet et al. 2007: raw HLL
+    overestimates tiny sets by ~m/e, so when est ≤ 2.5m and empty
+    buckets exist, ``m * ln(m / V)`` is used instead — a leaf node's
+    ball of 1 estimates ≈1.0, not ≈0.7m). Buckets a node never filled
+    count as register 0. Narrow aggregation; register equality, not
+    this scalar, is the oracled contract — the map is unit-tested
+    against exact BFS ball sizes."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    got = registers.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    # absent buckets contribute 2^0 = 1 each; V = count of empty buckets
+    v = F.lit(m) - F.col("nb")
+    s = F.col("s") + v
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return got.select("node", F.round(est, 4).alias("est_ball"))
+
+
+def hyperball_registers_sql(
+    edges_cte: str,
+    m: int = 16,
+    rounds: int = 4,
+) -> str:
+    """DuckDB twin of :func:`hyperball_registers` over an ``edges``
+    CTE body providing (src, dst)."""
+    p = m.bit_length() - 1
+    w = _HB_MD5_BITS - p
+    init = f"""
+r0 AS (
+  SELECT node,
+         (h % {m})::int AS bucket,
+         (CASE WHEN h // {m} > 0
+               THEN {w + 1} - length(bin(h // {m}))
+               ELSE {w + 1} END)::int AS register
+  FROM (
+    SELECT node,
+           ('0x' || substr(md5(node::varchar), 1, 15))::bigint AS h
+    FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+  )
+)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+r{i + 1} AS (
+  SELECT node, bucket, max(register)::int AS register FROM (
+    SELECT node, bucket, register FROM r{i}
+    UNION ALL
+    SELECT e.src AS node, r.bucket, r.register
+    FROM edges e JOIN r{i} r ON r.node = e.dst
+  ) GROUP BY node, bucket
+)""")
+    return (
+        f"WITH edges AS ({edges_cte}),{init},{','.join(steps)}\n"
+        f"SELECT node, bucket, register FROM r{rounds}"
+    )

@@ -191,3 +191,55 @@ def test_cc_keep_best_picks_max_score_per_cluster(spark):
     assert rows[2].comp == 1
     assert rows[4].comp == 4 and rows[4].score == 0.7
     assert rows[6].comp == 6
+
+
+def test_hyperball_registers_grow_with_radius(spark):
+    from docling_plus_spark.operators.graph import hyperball_registers
+
+    # directed chain 0 -> 1 -> ... -> 9: node 0's ball grows each round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    r1 = hyperball_registers(edges, m=16, rounds=1)
+    r4 = hyperball_registers(edges, m=16, rounds=4)
+
+    def filled(df, node):
+        return {
+            (r.bucket, r.register) for r in df.collect() if r.node == node
+        }
+
+    # monotone: every round-1 register is dominated at round 4
+    f1, f4 = dict(filled(r1, 0)), dict(filled(r4, 0))
+    assert all(f4.get(b, 0) >= v for b, v in f1.items())
+    # sink node's ball never grows: registers identical at both radii
+    assert filled(r1, 9) == filled(r4, 9)
+
+
+def test_hyperball_estimate_tracks_exact_ball_size(spark):
+    from docling_plus_spark.operators.graph import (
+        hyperball_estimate,
+        hyperball_registers,
+    )
+
+    # two disjoint directed stars: hub -> 30 leaves each; hub ball = 31
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 31)] + [(100, 100 + i) for i in range(1, 31)],
+        "src long, dst long",
+    )
+    regs = hyperball_registers(edges, m=64, rounds=2)
+    est = {r.node: r.est_ball for r in hyperball_estimate(regs, m=64).collect()}
+    # HLL with m=64 has ~13% stderr; accept a generous band around 31
+    for hub in (0, 100):
+        assert 12 <= est[hub] <= 75, est[hub]
+    # a leaf's ball is exactly itself: linear counting makes this ~1
+    assert 0.5 <= est[1] <= 3.0, est[1]
+
+
+def test_hyperball_rejects_non_power_of_two(spark):
+    import pytest as _pytest
+
+    from docling_plus_spark.operators.graph import hyperball_registers
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        hyperball_registers(edges, m=12)

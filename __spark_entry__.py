@@ -571,6 +571,25 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence splitting as exact char spans over the original text
+    (operators/spans.py:sentence_spans) — the layer C4 sentence rules
+    and sentence-level dedup operate on. Tiling regexp chunks +
+    cumulative-length fold; md5 of each slice value-proves offsets."""
+    from docling_plus_spark.operators.spans import sentence_spans
+
+    d = _docs(spark, sf_dir)
+    # give the corpus real sentence structure: inject terminators
+    text = F.concat(
+        F.lit("Intro number "), F.col("doc_id").cast("string"),
+        F.lit(". "), F.col("text"),
+        F.lit("! Trailing fragment without terminator"),
+    )
+    return sentence_spans(
+        d.select("doc_id", text.alias("text")), "doc_id", "text"
+    )
+
+
 def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall register propagation (operators/graph.py:
     hyperball_registers) — the HLL-counter BFS behind Common Crawl's
@@ -2248,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": _q_frontier_schedule,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "hyperball": _q_hyperball,
+        "sentence_spans": _q_sentence_spans,
     }
 
 
@@ -2523,6 +2543,39 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.textstats",
             fromlist=["inverted_index_sql"],
         ).inverted_index_sql("doc_id", "text", min_df=2),
+        "sentence_spans": r"""
+WITH raw AS (
+  SELECT doc_id AS id,
+         'Intro number ' || doc_id::varchar || '. ' || text
+           || '! Trailing fragment without terminator' AS t
+  FROM documents
+),
+cs AS (
+  SELECT id, t, regexp_extract_all(t, '[^.!?]*[.!?]+\s*|[^.!?]+') AS chunks
+  FROM raw
+),
+ch AS (
+  SELECT id, t, i, chunks[i + 1] AS c
+  FROM cs, unnest(range(0, len(chunks))) AS u(i)
+),
+pos AS (
+  SELECT id, t, i, c,
+         coalesce(sum(length(c)) OVER (
+           PARTITION BY id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::int AS s
+  FROM ch
+),
+spans AS (
+  SELECT id, t, i, s,
+         (s + length(regexp_replace(c, '\s+$', '')))::int AS e
+  FROM pos
+)
+SELECT id,
+       (row_number() OVER (PARTITION BY id ORDER BY i) - 1)::int AS sent_idx,
+       s AS char_start, e AS char_end,
+       md5(substr(t, s + 1, e - s)) AS sent_md5
+FROM spans WHERE e > s
+""",
         "hyperball": __import__(
             "docling_plus_spark.operators.graph",
             fromlist=["hyperball_registers_sql"],

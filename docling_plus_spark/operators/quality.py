@@ -633,3 +633,127 @@ SELECT id,
        ({" AND ".join(checks)}) AS repetition_pass
 FROM j GROUP BY id, total_chars
 """
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: a fastText-shaped hashed linear classifier
+# (the FineWeb-Edu / DCLM filtering stage — Penedo et al. 2024, Li et al.
+# 2024 — reduced to its Spark-relevant skeleton: hash words into a fixed
+# bucket space, look the bucket weight up in a model table that needs NO
+# join because the weight is a pure function of the bucket, average, and
+# squash). At 100 TB this is the exact plan a real model gives: the
+# ~10^6-float weight vector is a broadcast (here: a closed-form formula so
+# the DuckDB twin is exact), the document side is one narrow projection
+# inside the scan stage, no shuffle, no Python.
+
+HASH_DIM = 1 << 20
+_MIX = 2654435761  # Knuth multiplicative constant
+_MOD = 1000003
+
+
+def _bucket(w: Column) -> Column:
+    """md5-based word bucket, identical on Spark/DuckDB/Python:
+    int(md5(w)[:6], 16) % HASH_DIM."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long"),
+        F.lit(HASH_DIM),
+    )
+
+
+def _weight(w: Column) -> Column:
+    """Deterministic stand-in for a trained weight: an exact-integer
+    affine scramble of the bucket mapped to [-0.5, 0.5)."""
+    return (
+        F.pmod(_bucket(w) * F.lit(_MIX), F.lit(_MOD)).cast("double")
+        / F.lit(float(_MOD))
+        - F.lit(0.5)
+    )
+
+
+def hash_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gain: float = 4.0,
+) -> DataFrame:
+    """Score = sigmoid(gain * mean word weight); label = score >= 0.5.
+
+    Output: (id, n_words, score, label) for documents with >= 1 word.
+    Pure column expressions (split -> filter -> transform -> aggregate),
+    so the whole operator runs inside WholeStageCodegen in the scan
+    stage. Score rounded to 6 decimals to absorb cross-engine float
+    sum-order noise (weights themselves are exact rationals k/1000003).
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    # let-bind the token array (CollapseProject would otherwise inline
+    # the split into every downstream use — see module docstring)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.element_at(
+            F.transform(
+                F.array(ws),
+                lambda toks: F.struct(
+                    F.size(toks).alias("n_words"),
+                    (
+                        F.aggregate(
+                            F.transform(toks, _weight),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        # greatest(..,1): ANSI-safe for the 0-word rows
+                        # that the n_words > 0 filter later drops
+                        / F.greatest(F.size(toks), F.lit(1))
+                    ).alias("m"),
+                ),
+            ),
+            1,
+        ).alias("s"),
+    ).select("id", F.col("s.n_words").alias("n_words"), F.col("s.m").alias("m"))
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(gain) * F.col("m"))), 6
+    )
+    return (
+        out.filter(F.col("n_words") > 0)
+        .select(
+            "id",
+            F.col("n_words").cast("long").alias("n_words"),
+            score.alias("score"),
+            (score >= 0.5).alias("label"),
+        )
+    )
+
+
+def hash_classifier_sql(
+    id_expr: str,
+    text_expr: str,
+    table: str = "documents",
+    gain: float = 4.0,
+) -> str:
+    """DuckDB twin of :func:`hash_classifier` (identical hash, weight
+    formula, mean, sigmoid, rounding)."""
+    return rf"""
+WITH w AS (
+  SELECT {id_expr} AS id,
+         list_filter(string_split_regex(lower({text_expr}), '\s+'),
+                     x -> length(x) > 0) AS ws
+  FROM {table}
+),
+s AS (
+  SELECT id, len(ws) AS n_words,
+    list_aggregate(
+      list_transform(ws, w ->
+        ((list_reduce(
+            list_transform(string_split_regex(substr(md5(w), 1, 6), ''),
+                           c -> strpos('0123456789abcdef', c) - 1),
+            (a, b) -> a * 16 + b) % {HASH_DIM}) * {_MIX} % {_MOD}
+        ) / {_MOD}.0 - 0.5),
+      'avg') AS m
+  FROM w
+)
+SELECT id, n_words::bigint AS n_words,
+       round(1.0 / (1.0 + exp(-{gain} * m)), 6) AS score,
+       round(1.0 / (1.0 + exp(-{gain} * m)), 6) >= 0.5 AS label
+FROM s WHERE n_words > 0
+"""

@@ -669,3 +669,93 @@ def sentence_dedup(
             ).alias("removed_sentences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-level filtering (RefinedWeb §3.1 / the UT1-blocklist stage): a host
+# blocklist joined broadcast + a soft keyword score over the URL string.
+# The blocklist is a small dim table (UT1 ships ~4.6M hosts ~ tens of MB:
+# broadcast territory); the corpus side is one narrow projection, so at
+# 100 TB the only wide op is... nothing. Scoring thresholds follow the
+# RefinedWeb recipe: block if the host is listed OR >= `max_hits` flagged
+# keywords appear in the URL.
+
+URL_FLAG_WORDS = ["casino", "poker", "bet", "xxx", "porn", "webcam"]
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    max_hits: int = 2,
+) -> DataFrame:
+    """(url, host, blocked_host, kw_hits, allowed) per input row.
+
+    ``blocklist`` is a 1-column (``host``) DataFrame; the join is an
+    explicit ``broadcast`` left join. Keyword hits are counted on the
+    lowercased URL with word boundaries so ``better.test`` does not
+    match ``bet``.
+    """
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)
+    )
+    kw = sum(
+        (
+            F.regexp_count(
+                F.lower(F.col(url_col)), F.lit(rf"\b{w}\b")
+            )
+            for w in URL_FLAG_WORDS
+        ),
+        F.lit(0),
+    )
+    marked = df.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        kw.cast("long").alias("kw_hits"),
+    ).join(
+        F.broadcast(
+            blocklist.select(F.lower(F.col("host")).alias("host"))
+            .distinct()
+            .withColumn("blocked_host", F.lit(True))
+        ),
+        "host",
+        "left",
+    )
+    blocked_host = F.coalesce(F.col("blocked_host"), F.lit(False))
+    return marked.select(
+        "url",
+        "host",
+        blocked_host.alias("blocked_host"),
+        "kw_hits",
+        (~blocked_host & (F.col("kw_hits") < max_hits)).alias("allowed"),
+    )
+
+
+def url_blocklist_filter_sql(
+    url_expr: str,
+    table: str,
+    blocklist_values: str,
+    max_hits: int = 2,
+) -> str:
+    """DuckDB twin; ``blocklist_values`` is a SQL ``(VALUES ...)`` list of
+    1-tuples of hosts."""
+    kw = " + ".join(
+        rf"len(regexp_extract_all(lower({url_expr}), '\b{w}\b'))"
+        for w in URL_FLAG_WORDS
+    )
+    return rf"""
+WITH bl AS (SELECT DISTINCT lower(host) AS host
+            FROM (VALUES {blocklist_values}) AS t(host)),
+m AS (
+  SELECT {url_expr} AS url,
+         lower(regexp_extract({url_expr},
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+         ({kw})::bigint AS kw_hits
+  FROM {table}
+)
+SELECT m.url, m.host,
+       bl.host IS NOT NULL AS blocked_host,
+       m.kw_hits,
+       (bl.host IS NULL AND m.kw_hits < {max_hits}) AS allowed
+FROM m LEFT JOIN bl ON m.host = bl.host
+"""

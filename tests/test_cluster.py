@@ -1,0 +1,157 @@
+"""Unit tests for embedding clustering (spherical k-means + SemDeDup),
+the hashed linear classifier, and URL blocklist filtering — the
+embedding-space / model-based / URL-level curation stages
+(operators/cluster.py, quality.py:hash_classifier, webclean.py:
+url_blocklist_filter)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_plus_spark.operators.cluster import kmeans_lloyd, semdedup
+from docling_plus_spark.operators.quality import (
+    HASH_DIM,
+    _MIX,
+    _MOD,
+    hash_classifier,
+)
+from docling_plus_spark.operators.webclean import url_blocklist_filter
+from docling_plus_spark.plans import build_session
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _sep_corpus(spark, per_cluster: int = 20):
+    """Three well-separated unit directions in R^4 with small
+    deterministic jitter, membership interleaved (axis = id % 3) so the
+    lowest-id deterministic seeds land one per ground-truth group (the
+    same reason production seeds with k-means++: seeding all centroids
+    inside one tight cluster is unrecoverable for plain Lloyd)."""
+    rows = []
+    for i in range(3 * per_cluster):
+        axis = i % 3
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = 10.0
+        v[3] = ((i * 7) % 5 - 2) * 0.1  # jitter, |.| <= 0.2
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    emb = _sep_corpus(spark)
+    out = kmeans_lloyd(emb, k=3, iters=3).collect()
+    assert len(out) == 60
+    by_truth = {}
+    for r in out:
+        by_truth.setdefault(r["id"] % 3, set()).add(r["cluster"])
+    # each ground-truth group lands in exactly one cluster, all distinct
+    assert all(len(s) == 1 for s in by_truth.values()), by_truth
+    assert len({next(iter(s)) for s in by_truth.values()}) == 3
+    # assignment similarity to a centroid of your own tight cluster ~ 1
+    assert min(r["ccos"] for r in out) > 0.99
+
+
+def test_kmeans_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(map(tuple, kmeans_lloyd(emb, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_lloyd(emb, k=4, iters=2).collect()))
+    assert a == b
+    assert len({r[1] for r in a}) <= 4
+    n = emb.count()
+    assert len(a) == n  # every vector assigned exactly once
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    emb = _sep_corpus(spark)
+    dupes = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    out = {r["id"]: r for r in semdedup(emb.unionAll(dupes), k=3, tau=0.97).collect()}
+    for i in range(60):
+        if i % 4 == 0:
+            copy = out[i + 1000]
+            assert not copy["kept"], i  # exact copy of a lower id dies
+            assert copy["cluster"] == out[i]["cluster"]
+    # all original jittered vectors survive (pairwise cos < 0.97 needs
+    # checking only within a truth-cluster: jitter axis differs)
+    kept_orig = [r["kept"] for i, r in out.items() if i < 1000]
+    # at least the lowest id of every cluster survives
+    assert any(kept_orig)
+    lowest_per_cluster = {}
+    for i, r in sorted(out.items()):
+        lowest_per_cluster.setdefault(r["cluster"], i)
+    for c, i in lowest_per_cluster.items():
+        assert out[i]["kept"], (c, i)
+
+
+def test_hash_classifier_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello world"), (2, "the the the"), (3, "  "), (4, "Ünïcødé mix")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in hash_classifier(docs).collect()}
+    assert 3 not in got  # whitespace-only doc filtered
+
+    def w(word: str) -> float:
+        b = int(hashlib.md5(word.encode()).hexdigest()[:6], 16) % HASH_DIM
+        return (b * _MIX % _MOD) / _MOD - 0.5
+
+    for doc_id, text in [(1, "hello world"), (2, "the the the"), (4, "ünïcødé mix")]:
+        words = text.split()
+        m = sum(w(x) for x in words) / len(words)
+        want = round(1.0 / (1.0 + math.exp(-4.0 * m)), 6)
+        assert got[doc_id]["score"] == pytest.approx(want, abs=1e-6)
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["label"] == (want >= 0.5)
+
+
+def test_url_filter_boundaries_and_host_case(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://h0.test/fine",),  # blocked host
+            ("https://OK.test/casino/poker",),  # 2 kw hits -> not allowed
+            ("https://ok.test/better/betting",),  # 'bet' must NOT match
+            ("https://ok.test/poker/1",),  # 1 hit < max_hits -> allowed
+            ("http://H2.TEST:8080/x",),  # host lowercased both sides
+        ],
+        "url string",
+    )
+    bl = spark.createDataFrame([("h0.test",), ("H2.test",)], "host string")
+    out = {r["url"]: r for r in url_blocklist_filter(urls, bl, max_hits=2).collect()}
+    assert out["https://h0.test/fine"]["blocked_host"]
+    assert not out["https://h0.test/fine"]["allowed"]
+    r = out["https://OK.test/casino/poker"]
+    assert r["kw_hits"] == 2 and not r["allowed"] and not r["blocked_host"]
+    r = out["https://ok.test/better/betting"]
+    assert r["kw_hits"] == 0 and r["allowed"]
+    assert out["https://ok.test/poker/1"]["allowed"]
+    r = out["http://H2.TEST:8080/x"]
+    assert r["host"] == "h2.test" and r["blocked_host"] and not r["allowed"]
+
+
+def test_kmeans_plan_broadcasts_centroids_and_semdedup_no_cartesian(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    p = plan(kmeans_lloyd(emb, k=4, iters=1))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    p2 = plan(semdedup(emb, k=4, tau=0.97, iters=1))
+    # the pairwise stage joins on `cluster`, never a cartesian product
+    assert "CartesianProduct" not in p2

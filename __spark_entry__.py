@@ -589,6 +589,17 @@ def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_blocklist_filter(urls, blocklist, max_hits=2)
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011 — FAISS IVF-PQ's PQ
+    half): per-subspace Euclidean k-means trained simultaneously for
+    all m subspaces in one plan; output is the (id, sub, code)
+    compression that makes billion-scale ANN memory-feasible."""
+    from docling_plus_spark.operators.cluster import pq_codes
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    return pq_codes(emb, m=4, k=16, iters=1)
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full iterative BPE training (8 merges) over the distinct-word
     frequency table; the DuckDB twin unrolls the identical iterations
@@ -2317,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
+        "pq_codes": _q_pq_codes,
         # -- round-2 additions that fell outside the r2 window --
         # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
         #  levenshtein, base64_roundtrip, list_marker, chunkify,
@@ -2333,12 +2345,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_filter_remap": _q_cluster_filter_remap,
         "bbox_envelope": _q_bbox_envelope,
         "table_reindex": _q_table_reindex,
+        # ---- 50-query window boundary (ends at table_reindex).
+        #      otsl_dims / streaming_extract (r1-green) and extract_text
+        #      (double-green r1+r2, still smoke-checked every round via
+        #      entry()) sit just past it to fit
+        #      bpe_train/bpe_encode/pq_codes. ----
         "otsl_dims": _q_otsl_dims,
-        # -- double-green (r1+r2) fill the rest of the 50-query window --
         "extract_text": _q_extract_text,
-        # ---- 50-query window boundary (extract_text is the flagship and
-        #      also smoke-checked via entry(); streaming_extract moved to
-        #      the tail, r1-green, to fit bpe_train/bpe_encode) ----
         "streaming_extract": _q_streaming_extract,
         "extract_markdown": _q_extract_markdown,
         "doctags_extract": _q_doctags_extract,
@@ -2706,6 +2719,9 @@ SELECT id_a, rk, id_b, cosine FROM (
         "bpe_encode": __import__(
             "docling_plus_spark.operators.bpe", fromlist=["bpe_encode_sql"]
         ).bpe_encode_sql(8),
+        "pq_codes": __import__(
+            "docling_plus_spark.operators.cluster", fromlist=["pq_codes_sql"]
+        ).pq_codes_sql(m=4, k=16, iters=1),
         "winnow_fingerprint": _winnow_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "winnow_dedup": _winnow_dedup_oracle(),

@@ -255,3 +255,152 @@ doomed AS (
 )
 SELECT f.id, f.cluster, d.id IS NULL AS kept
 FROM {final} f LEFT JOIN doomed d ON f.id = d.id"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., TPAMI 2011 — the PQ half of
+# FAISS's IVF-PQ): split each vector into m subvectors, k-means each
+# subspace (Euclidean), store the per-subspace code. At 10^9 vectors
+# this turns a 64-dim float vector (256 B) into m bytes, which is what
+# makes billion-scale ANN memory-feasible; the codebook is m*k*d/m
+# floats — broadcast territory. All m subspaces train in ONE plan
+# (grouped by (sub, code)): no per-subspace job loop.
+#
+# Determinism contract mirrors kmeans_lloyd: lowest-id seeding per
+# subspace, squared-L2 rounded to 4 before the argmin (tie -> lowest
+# code), per-dimension means rounded to 6. No renormalisation —
+# Euclidean, not spherical.
+
+
+def _sub_split(emb: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub, svec): the m contiguous subvectors of each vector."""
+    v = F.col(vec_col).cast("array<double>")
+    d_sub = (F.size(v) / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(v, s * d_sub + 1, d_sub).alias("svec"),
+        ),
+    )
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(subs).alias("p")
+    ).select("id", F.col("p.sub").alias("sub"), F.col("p.svec").alias("svec"))
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per (id, sub): nearest codeword in that subspace. The join key is
+    `sub` and the codebook side is broadcast."""
+    scored = sv.join(F.broadcast(cents), "sub").select(
+        "id",
+        "sub",
+        "svec",
+        "code",
+        F.round(_sqdist(F.col("svec"), F.col("cemb")), 4).alias("dist"),
+    )
+    w = Window.partitionBy("id", "sub").orderBy(F.asc("dist"), F.asc("code"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _pq_recompute(assigned: DataFrame) -> DataFrame:
+    means = (
+        assigned.select("sub", "code", F.posexplode("svec").alias("i", "x"))
+        .groupBy("sub", "code", "i")
+        .agg(F.round(F.avg("x"), 6).alias("mv"))
+    )
+    return (
+        means.groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mv"))).alias("s"))
+        .select(
+            "sub", "code", F.transform("s", lambda st: st["mv"]).alias("cemb")
+        )
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a PQ codebook (`iters` Lloyd rounds per subspace,
+    simultaneously) and encode: (id, sub, code, dist)."""
+    sv = _sub_split(emb, m, id_col, vec_col)
+    w = Window.partitionBy("sub").orderBy("id")
+    cents = (
+        sv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("sub", (F.col("rk") - 1).alias("code"), F.col("svec").alias("cemb"))
+    )
+    for _ in range(iters):
+        cents = _pq_recompute(_pq_assign(sv, cents)).localCheckpoint()
+    return _pq_assign(sv, cents).select("id", "sub", "code", "dist")
+
+
+def pq_codes_sql(
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_codes` (same seeding, rounding, ties)."""
+    sq = (
+        "round(list_aggregate(list_transform(range(1, len(s.svec) + 1), "
+        "j -> (s.svec[j] - c.cemb[j]) * (s.svec[j] - c.cemb[j])), 'sum'), 4)"
+    )
+
+    def assign(sv: str, cents: str) -> str:
+        return f"""(
+  SELECT id, sub, svec, code, dist FROM (
+    SELECT s.id, s.sub, s.svec, c.code, {sq} AS dist,
+           row_number() OVER (PARTITION BY s.id, s.sub
+                              ORDER BY {sq} ASC, c.code) AS rk
+    FROM {sv} s JOIN {cents} c USING (sub)) AS q(id, sub, svec, code, dist, rk)
+  WHERE rk = 1
+)"""
+
+    parts = [
+        f"""sv AS (
+  SELECT {id_col} AS id, s AS sub,
+         ({vec_col}::double[])[s * (len({vec_col}) // {m}) + 1 :
+                               (s + 1) * (len({vec_col}) // {m})] AS svec
+  FROM {table}, unnest(range(0, {m})) AS t(s)
+)""",
+        f"""cents0 AS (
+  SELECT sub, rk - 1 AS code, svec AS cemb FROM (
+    SELECT sub, svec,
+           row_number() OVER (PARTITION BY sub ORDER BY id) AS rk
+    FROM sv) WHERE rk <= {k}
+)""",
+    ]
+    for n in range(iters):
+        parts.append(f"a{n} AS {assign('sv', f'cents{n}')}")
+        parts.append(
+            f"""cents{n + 1} AS (
+  WITH mm AS (
+    SELECT sub, code, i, round(avg(svec[i + 1]), 6) AS mv
+    FROM a{n}, unnest(range(0, len(svec))) AS t(i)
+    GROUP BY 1, 2, 3
+  )
+  SELECT sub, code, list(mv ORDER BY i) AS cemb FROM mm GROUP BY 1, 2
+)"""
+        )
+    parts.append(f"afinal AS {assign('sv', f'cents{iters}')}")
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT id, sub, code, dist FROM afinal"

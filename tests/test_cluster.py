@@ -155,3 +155,42 @@ def test_kmeans_plan_broadcasts_centroids_and_semdedup_no_cartesian(spark):
     p2 = plan(semdedup(emb, k=4, tau=0.97, iters=1))
     # the pairwise stage joins on `cluster`, never a cartesian product
     assert "CartesianProduct" not in p2
+
+
+def test_pq_codes_deterministic_and_compresses(spark):
+    from docling_plus_spark.operators.cluster import pq_codes
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = pq_codes(emb, m=4, k=8, iters=1).collect()
+    n = emb.count()
+    assert len(out) == 4 * n  # one code per (vector, subspace)
+    assert {r["sub"] for r in out} == {0, 1, 2, 3}
+    assert all(0 <= r["code"] < 8 for r in out)
+    # deterministic
+    again = pq_codes(emb, m=4, k=8, iters=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # codebook seeds encode themselves with near-zero distortion at
+    # iters=0-equivalent? after 1 Lloyd round seeds may move; instead
+    # check every vector's dist is finite and non-negative
+    assert all(r["dist"] >= 0.0 for r in out)
+
+
+def test_pq_codes_sql_twin_matches(spark):
+    import duckdb
+
+    from docling_plus_spark.operators.cluster import pq_codes, pq_codes_sql
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = sorted(
+        (r["id"], r["sub"], r["code"], r["dist"])
+        for r in pq_codes(emb, m=4, k=8, iters=1).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(pq_codes_sql(m=4, k=8, iters=1)).fetchall()))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert abs(g[3] - w[3]) < 1e-9, (g, w)

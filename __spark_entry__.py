@@ -589,6 +589,15 @@ def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_blocklist_filter(urls, blocklist, max_hits=2)
 
 
+def _q_script_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style Unicode-script composition signal (per-script char
+    fractions + argmax script) as pure regexp-count columns
+    (operators/quality.py:script_composition)."""
+    from docling_plus_spark.operators.quality import script_composition
+
+    return script_composition(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011 — FAISS IVF-PQ's PQ
     half): per-subspace Euclidean k-means trained simultaneously for
@@ -2329,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
         "pq_codes": _q_pq_codes,
+        "script_composition": _q_script_composition,
         # -- round-2 additions that fell outside the r2 window --
         # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
         #  levenshtein, base64_roundtrip, list_marker, chunkify,
@@ -2344,12 +2354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_cluster_assign": _q_cell_cluster_assign,
         "cluster_filter_remap": _q_cluster_filter_remap,
         "bbox_envelope": _q_bbox_envelope,
-        "table_reindex": _q_table_reindex,
-        # ---- 50-query window boundary (ends at table_reindex).
+        # ---- 50-query window boundary (ends at bbox_envelope).
         #      otsl_dims / streaming_extract (r1-green) and extract_text
         #      (double-green r1+r2, still smoke-checked every round via
         #      entry()) sit just past it to fit
         #      bpe_train/bpe_encode/pq_codes. ----
+        "table_reindex": _q_table_reindex,
         "otsl_dims": _q_otsl_dims,
         "extract_text": _q_extract_text,
         "streaming_extract": _q_streaming_extract,
@@ -2719,6 +2729,10 @@ SELECT id_a, rk, id_b, cosine FROM (
         "bpe_encode": __import__(
             "docling_plus_spark.operators.bpe", fromlist=["bpe_encode_sql"]
         ).bpe_encode_sql(8),
+        "script_composition": __import__(
+            "docling_plus_spark.operators.quality",
+            fromlist=["script_composition_sql"],
+        ).script_composition_sql("doc_id", "text", "documents"),
         "pq_codes": __import__(
             "docling_plus_spark.operators.cluster", fromlist=["pq_codes_sql"]
         ).pq_codes_sql(m=4, k=16, iters=1),

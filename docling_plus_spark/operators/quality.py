@@ -757,3 +757,82 @@ SELECT id, n_words::bigint AS n_words,
        round(1.0 / (1.0 + exp(-{gain} * m)), 6) >= 0.5 AS label
 FROM s WHERE n_words > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode script composition (the CCNet/fastText-langid precursor signal:
+# which writing system dominates a document). Pure regexp-count columns —
+# the per-script counters run inside the scan stage; the twin uses RE2
+# codepoint-class syntax for the same ranges.
+
+# (name, Java-regex char class, RE2 char class)
+SCRIPT_CLASSES = [
+    ("latin", r"[A-Za-zÀ-ɏ]", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[Ѐ-ӿ]", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[Ͱ-Ͽ]", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", r"[؀-ۿ]", r"[\x{0600}-\x{06FF}]"),
+    ("cjk", r"[一-鿿぀-ヿ가-힯]",
+     r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]"),
+    ("digit", r"[0-9]", r"[0-9]"),
+]
+
+
+def script_composition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_chars, latin_frac, …, digit_frac, main_script): per-script
+    character fractions over non-whitespace chars plus the argmax script
+    ('other' when nothing matches). Fractions are exact integer ratios
+    rounded to 6 — bit-stable across engines."""
+    t = F.col(text_col)
+    nws = F.length(F.regexp_replace(t, r"\s", ""))
+    counts = {
+        name: F.regexp_count(t, F.lit(java)).cast("long")
+        for name, java, _ in SCRIPT_CLASSES
+    }
+    denom = F.greatest(nws, F.lit(1))
+    cols = [F.col(id_col).alias("id"), nws.cast("long").alias("n_chars")]
+    cols += [
+        F.round(counts[name].cast("double") / denom, 6).alias(f"{name}_frac")
+        for name, _, _ in SCRIPT_CLASSES
+    ]
+    # argmax script by count, ties by declaration order; all-zero -> other
+    best = F.greatest(*[counts[n] for n, _, _ in SCRIPT_CLASSES])
+    main = F.lit("other")
+    for name, _, _ in reversed(SCRIPT_CLASSES):
+        main = F.when(
+            (best > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(main)
+    cols.append(main.alias("main_script"))
+    return df.select(*cols)
+
+
+def script_composition_sql(
+    id_expr: str,
+    text_expr: str,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`script_composition`."""
+    cnt = {
+        name: rf"len(regexp_extract_all({text_expr}, '{re2}'))::bigint"
+        for name, _, re2 in SCRIPT_CLASSES
+    }
+    nws = rf"length(regexp_replace({text_expr}, '\s', '', 'g'))"
+    fracs = ",\n       ".join(
+        f"round({cnt[name]} / greatest({nws}, 1)::double, 6) AS {name}_frac"
+        for name, _, _ in SCRIPT_CLASSES
+    )
+    best = f"greatest({', '.join(cnt[n] for n, _, _ in SCRIPT_CLASSES)})"
+    main = f"CASE WHEN {best} = 0 THEN 'other' "
+    for name, _, _ in SCRIPT_CLASSES:
+        main += f"WHEN {cnt[name]} = {best} THEN '{name}' "
+    main += "ELSE 'other' END"
+    return f"""
+SELECT {id_expr} AS id,
+       {nws}::bigint AS n_chars,
+       {fracs},
+       {main} AS main_script
+FROM {table}
+"""

@@ -194,3 +194,53 @@ def test_pq_codes_sql_twin_matches(spark):
     for g, w in zip(got, want):
         assert g[:3] == w[:3], (g, w)
         assert abs(g[3] - w[3]) < 1e-9, (g, w)
+
+
+def test_script_composition(spark):
+    from docling_plus_spark.operators.quality import script_composition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world 123"),
+            (2, "Привет мир"),
+            (3, "你好 世界 こんにちは"),
+            (4, "مرحبا بالعالم"),
+            (5, "!!! ???"),
+            (6, "12345"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in script_composition(docs).collect()}
+    assert out[1]["main_script"] == "latin"
+    assert out[1]["digit_frac"] == pytest.approx(3 / 13, abs=1e-6)
+    assert out[2]["main_script"] == "cyrillic"
+    assert out[3]["main_script"] == "cjk"
+    assert out[4]["main_script"] == "arabic"
+    assert out[5]["main_script"] == "other"
+    assert out[6]["main_script"] == "digit"
+    assert out[2]["cyrillic_frac"] == pytest.approx(9 / 9, abs=1e-6)
+
+
+def test_script_composition_sql_twin(spark):
+    import duckdb
+
+    from docling_plus_spark.operators.quality import (
+        script_composition,
+        script_composition_sql,
+    )
+
+    rows = [
+        (1, "hello Привет 你好 123 ..."),
+        (2, "mixed Ünïcødé tail ё"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, script_composition(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text)"
+        % ", ".join("(%d, '%s')" % (i, t) for i, t in rows)
+    )
+    want = sorted(map(tuple, con.execute(
+        script_composition_sql("doc_id", "text")).fetchall()))
+    assert got == want

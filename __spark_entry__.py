@@ -517,7 +517,10 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import cosine_topk_ivf
 
     emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
-    return cosine_topk_ivf(emb, k=5, n_lists=16, nprobe=4)
+    # n_lists ~ sqrt(corpus) per the FAISS sizing rule (ann.py:212-215):
+    # 32 lists halves per-list pair volume vs 16 AND matches the core
+    # count, so the list_id-keyed candidate join fills the machine
+    return cosine_topk_ivf(emb, k=5, n_lists=32, nprobe=4)
 
 
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2686,7 +2689,7 @@ SELECT id_a, rk, id_b, cosine FROM (
 ) WHERE rk <= 5
 """,
         "ann_topk_bucketed": _ann_bucketed_oracle(),
-        "ann_topk_ivf": _ann_ivf_oracle(),
+        "ann_topk_ivf": _ann_ivf_oracle(n_lists=32),
         "kmeans": __import__(
             "docling_plus_spark.operators.cluster", fromlist=["kmeans_lloyd_sql"]
         ).kmeans_lloyd_sql(k=8, iters=2),

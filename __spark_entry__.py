@@ -612,6 +612,17 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, m=4, k=16, iters=1)
 
 
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (the FAISS IVF-PQ query plan): per-query
+    (sub,code) lookup table joined to the code table — candidate
+    distances are m lookups summed; no vector math per pair, no
+    embeddings in the wide join."""
+    from docling_plus_spark.operators.cluster import pq_adc_topk
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(emb, m=4, k_codes=16, topk=5, query_mod=20)
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full iterative BPE training (8 merges) over the distinct-word
     frequency table; the DuckDB twin unrolls the identical iterations
@@ -2342,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "pq_codes": _q_pq_codes,
         "script_composition": _q_script_composition,
+        "pq_adc_topk": _q_pq_adc_topk,
         # -- round-2 additions that fell outside the r2 window --
         # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
         #  levenshtein, base64_roundtrip, list_marker, chunkify,
@@ -2356,12 +2368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_numbering": _q_list_numbering,
         "cell_cluster_assign": _q_cell_cluster_assign,
         "cluster_filter_remap": _q_cluster_filter_remap,
-        "bbox_envelope": _q_bbox_envelope,
-        # ---- 50-query window boundary (ends at bbox_envelope).
+        # ---- 50-query window boundary (ends at cluster_filter_remap).
         #      otsl_dims / streaming_extract (r1-green) and extract_text
         #      (double-green r1+r2, still smoke-checked every round via
         #      entry()) sit just past it to fit
         #      bpe_train/bpe_encode/pq_codes. ----
+        "bbox_envelope": _q_bbox_envelope,
         "table_reindex": _q_table_reindex,
         "otsl_dims": _q_otsl_dims,
         "extract_text": _q_extract_text,
@@ -2736,6 +2748,9 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.quality",
             fromlist=["script_composition_sql"],
         ).script_composition_sql("doc_id", "text", "documents"),
+        "pq_adc_topk": __import__(
+            "docling_plus_spark.operators.cluster", fromlist=["pq_adc_topk_sql"]
+        ).pq_adc_topk_sql(m=4, k_codes=16, topk=5, query_mod=20),
         "pq_codes": __import__(
             "docling_plus_spark.operators.cluster", fromlist=["pq_codes_sql"]
         ).pq_codes_sql(m=4, k=16, iters=1),

@@ -404,3 +404,106 @@ def pq_codes_sql(
     parts.append(f"afinal AS {assign('sv', f'cents{iters}')}")
     body = ",\n".join(parts)
     return f"WITH {body}\nSELECT id, sub, code, dist FROM afinal"
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    topk: int = 5,
+    iters: int = 1,
+    query_mod: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the query
+    plan FAISS actually runs: per query, a tiny (sub, code) → partial-
+    distance lookup table, then per-candidate distance = m table
+    lookups summed, never a d-dim vector op per pair.
+
+    Relationally: ``pdist`` (query × codebook partial sqdists,
+    |Q|·m·k rows — broadcast-sized) joins the code table on
+    (sub, code) and sums per (query, candidate). The only wide op
+    shuffles (qid, xid, partial) triples — no embeddings move after
+    encoding. Queries are the deterministic ``id % query_mod == 0``
+    slice so the DuckDB twin replays the same subset.
+
+    Output: (qid, rk, xid, adist) — approximate distances rounded to 4
+    (tie: ascending xid), self-matches excluded.
+    """
+    sv = _sub_split(emb, m, id_col, vec_col)
+    w = Window.partitionBy("sub").orderBy("id")
+    cents = (
+        sv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_codes)
+        .select(
+            "sub", (F.col("rk") - 1).alias("code"), F.col("svec").alias("cemb")
+        )
+    )
+    for _ in range(iters):
+        cents = _pq_recompute(_pq_assign(sv, cents)).localCheckpoint()
+    codes = _pq_assign(sv, cents).select("id", "sub", "code")
+    qsv = sv.filter(F.col("id") % query_mod == 0)
+    pdist = qsv.join(F.broadcast(cents), "sub").select(
+        F.col("id").alias("qid"),
+        "sub",
+        "code",
+        F.round(_sqdist(F.col("svec"), F.col("cemb")), 6).alias("pd"),
+    )
+    joined = (
+        pdist.join(codes.select(F.col("id").alias("xid"), "sub", "code"),
+                   ["sub", "code"])
+        .filter(F.col("qid") != F.col("xid"))
+        .groupBy("qid", "xid")
+        .agg(F.round(F.sum("pd"), 4).alias("adist"), F.count("*").alias("nsub"))
+        # a candidate only scores if it matched the query's lookup rows in
+        # ALL m subspaces (it always does: every (sub, code) of every
+        # candidate exists in the query's full lookup table)
+        .filter(F.col("nsub") == m)
+        .drop("nsub")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("xid"))
+    return (
+        joined.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= topk)
+        .select("qid", "rk", "xid", "adist")
+    )
+
+
+def pq_adc_topk_sql(
+    m: int = 4,
+    k_codes: int = 16,
+    topk: int = 5,
+    iters: int = 1,
+    query_mod: int = 20,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk`."""
+    base = pq_codes_sql(m, k_codes, iters, table, id_col, vec_col)
+    # reuse the pq CTE chain up to (but not including) the final SELECT
+    body = base[len("WITH ") : base.rindex("SELECT id, sub, code, dist")]
+    sqd = (
+        "round(list_aggregate(list_transform(range(1, len(q.svec) + 1), "
+        "j -> (q.svec[j] - c.cemb[j]) * (q.svec[j] - c.cemb[j])), 'sum'), 6)"
+    )
+    return f"""WITH {body.rstrip()},
+codes AS (SELECT id AS xid, sub, code FROM afinal),
+pdist AS (
+  SELECT q.id AS qid, q.sub, c.code, {sqd} AS pd
+  FROM sv q JOIN cents{iters} c USING (sub)
+  WHERE q.id % {query_mod} = 0
+),
+adist AS (
+  SELECT p.qid, x.xid, round(sum(p.pd), 4) AS adist
+  FROM pdist p JOIN codes x USING (sub, code)
+  WHERE p.qid != x.xid
+  GROUP BY 1, 2
+  HAVING count(*) = {m}
+)
+SELECT qid, rk, xid, adist FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY adist ASC, xid) AS rk
+  FROM adist
+) WHERE rk <= {topk}"""

@@ -244,3 +244,33 @@ def test_script_composition_sql_twin(spark):
     want = sorted(map(tuple, con.execute(
         script_composition_sql("doc_id", "text")).fetchall()))
     assert got == want
+
+
+def test_pq_adc_topk_sql_twin_and_sanity(spark):
+    import duckdb
+
+    from docling_plus_spark.operators.cluster import pq_adc_topk, pq_adc_topk_sql
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = sorted(
+        (r["qid"], r["rk"], r["xid"], r["adist"])
+        for r in pq_adc_topk(emb, m=4, k_codes=8, topk=3, query_mod=10).collect()
+    )
+    assert got, "no query rows"
+    # every query id is % 10 == 0 and gets exactly topk neighbours
+    qids = {g[0] for g in got}
+    assert all(q % 10 == 0 for q in qids)
+    from collections import Counter
+
+    per_q = Counter(g[0] for g in got)
+    assert all(v == 3 for v in per_q.values())
+    assert all(g[3] >= 0.0 for g in got)  # squared distances
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(
+        pq_adc_topk_sql(m=4, k_codes=8, topk=3, query_mod=10)).fetchall()))
+    assert [g[:3] for g in got] == [tuple(w[:3]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-9

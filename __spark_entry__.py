@@ -612,6 +612,33 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, m=4, k=16, iters=1)
 
 
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (the daily-crawl shape): today's
+    batch — near-dup mutations of every 4th indexed doc plus genuinely
+    fresh docs — joins the standing signature index and itself, never
+    index-vs-index (operators/dedup.py:minhash_incremental_pairs)."""
+    from docling_plus_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_prepare,
+    )
+
+    d = _docs(spark, sf_dir)
+    index = d.select(F.col("doc_id").alias("id"), "text")
+    new = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.concat(F.col("text"), F.lit(" epoch tail")).alias("text"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 4 == 1).select(
+            (F.col("doc_id") + 200000).alias("id"),
+            F.reverse(F.col("text")).alias("text"),
+        )
+    )
+    return minhash_incremental_pairs(
+        minhash_prepare(new, "id", "text", 16, 4),
+        minhash_prepare(index, "id", "text", 16, 4),
+    )
+
+
 def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search over PQ codes (the FAISS IVF-PQ query plan): per-query
     (sub,code) lookup table joined to the code table — candidate
@@ -2354,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "script_composition": _q_script_composition,
         "pq_adc_topk": _q_pq_adc_topk,
+        "minhash_incremental": _q_minhash_incremental,
         # -- round-2 additions that fell outside the r2 window --
         # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
         #  levenshtein, base64_roundtrip, list_marker, chunkify,
@@ -2367,12 +2395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_hierarchy": _q_heading_hierarchy,
         "list_numbering": _q_list_numbering,
         "cell_cluster_assign": _q_cell_cluster_assign,
-        "cluster_filter_remap": _q_cluster_filter_remap,
-        # ---- 50-query window boundary (ends at cluster_filter_remap).
+        # ---- 50-query window boundary (ends at cell_cluster_assign).
         #      otsl_dims / streaming_extract (r1-green) and extract_text
         #      (double-green r1+r2, still smoke-checked every round via
         #      entry()) sit just past it to fit
         #      bpe_train/bpe_encode/pq_codes. ----
+        "cluster_filter_remap": _q_cluster_filter_remap,
         "bbox_envelope": _q_bbox_envelope,
         "table_reindex": _q_table_reindex,
         "otsl_dims": _q_otsl_dims,
@@ -2748,6 +2776,18 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.quality",
             fromlist=["script_composition_sql"],
         ).script_composition_sql("doc_id", "text", "documents"),
+        "minhash_incremental": "WITH idx AS (SELECT doc_id AS id, text FROM documents),\n"
+        "newdocs AS (\n"
+        "  SELECT doc_id + 100000 AS id, text || ' epoch tail' AS text\n"
+        "  FROM documents WHERE doc_id % 4 = 0\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 200000 AS id, reverse(text) AS text\n"
+        "  FROM documents WHERE doc_id % 4 = 1\n"
+        "),"
+        + __import__(
+            "docling_plus_spark.operators.dedup",
+            fromlist=["minhash_incremental_sql"],
+        ).minhash_incremental_sql("newdocs", "idx", 16, 4),
         "pq_adc_topk": __import__(
             "docling_plus_spark.operators.cluster", fromlist=["pq_adc_topk_sql"]
         ).pq_adc_topk_sql(m=4, k_codes=16, topk=5, query_mod=20),

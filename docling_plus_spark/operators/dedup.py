@@ -757,3 +757,103 @@ SELECT d.id, coalesce(n_hits > 0, false) AS contaminated,
 FROM (SELECT DISTINCT {id_expr} AS id FROM {table}) d
 LEFT JOIN hits USING (id)
 """
+
+
+def minhash_incremental_pairs(
+    new_prepared: DataFrame,
+    index_prepared: DataFrame,
+) -> DataFrame:
+    """Cross-snapshot candidates — the daily-crawl production shape:
+    today's NEW documents join the standing signature INDEX plus each
+    other; indexed-vs-indexed pairs are never formed (prior epochs
+    already resolved them), so per-epoch work is O(|new| · bucket
+    density), not O(|corpus|²).
+
+    Inputs are :func:`minhash_prepare` outputs. Output: distinct
+    (new_id, other_id, est_jaccard, vs_index) — ``vs_index`` marks
+    whether the other side came from the index. new-new pairs keep
+    new_id < other_id; signatures never ride through the distinct
+    (payload-free, same discipline as :func:`minhash_candidate_pairs`).
+
+    The join shuffles on band_key. The same mega-bucket consideration
+    applies; here the probe side is the (small) daily batch so bucket
+    blowup is bounded by |new ∩ bucket| · |index ∩ bucket| — salting can
+    be layered exactly as in minhash_candidate_pairs if a boilerplate
+    bucket dominates an epoch.
+    """
+    n = new_prepared.select(
+        "band_key", F.col("id").alias("new_id"), F.col("sig").alias("sig_n")
+    )
+    o = index_prepared.select(
+        "band_key",
+        F.col("id").alias("other_id"),
+        F.col("sig").alias("sig_o"),
+        F.lit(True).alias("vs_index"),
+    ).unionByName(
+        new_prepared.select(
+            "band_key",
+            F.col("id").alias("other_id"),
+            F.col("sig").alias("sig_o"),
+            F.lit(False).alias("vs_index"),
+        )
+    )
+    joined = n.join(o, "band_key").filter(
+        F.col("vs_index")  # new vs index: all pairs
+        | (F.col("new_id") < F.col("other_id"))  # new vs new: canonical order
+    )
+    k = F.size(F.col("sig_n"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_n"), F.col("sig_o"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / k.cast("double")
+    )
+    return joined.select(
+        "new_id",
+        "other_id",
+        F.round(est, 6).alias("est_jaccard"),
+        "vs_index",
+    ).distinct()
+
+
+def minhash_incremental_sql(
+    new_cte: str,
+    index_cte: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> str:
+    """DuckDB twin of prepare(new) + prepare(index) +
+    :func:`minhash_incremental_pairs`. ``new_cte``/``index_cte`` are CTE
+    names with (id, text)."""
+    rows = k // bands
+    sh = shingles_sql("text", n)
+    hs = hashed_shingles_sql(sh)
+
+    def prep(src: str) -> str:
+        return f"""(
+  SELECT id, sig, unnest({lsh_band_keys_sql('sig', bands, rows)}) AS band_key
+  FROM (SELECT id, {minhash_signature_sql('hs', k)} AS sig
+        FROM (SELECT id, {hs} AS hs FROM {src}))
+)"""
+
+    eq = (
+        "len(list_filter(range(1, len(n.sig) + 1), "
+        "j -> n.sig[j] = o.sig[j]))"
+    )
+    return f"""
+prep_new AS {prep(new_cte)},
+prep_idx AS {prep(index_cte)},
+others AS (
+  SELECT band_key, id AS other_id, sig, true AS vs_index FROM prep_idx
+  UNION ALL
+  SELECT band_key, id AS other_id, sig, false AS vs_index FROM prep_new
+)
+SELECT DISTINCT n.id AS new_id, o.other_id,
+       round({eq} / {k}.0, 6) AS est_jaccard, o.vs_index
+FROM prep_new n JOIN others o USING (band_key)
+WHERE o.vs_index OR n.id < o.other_id
+"""

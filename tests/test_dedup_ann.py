@@ -476,3 +476,43 @@ def test_decontaminate_flags_benchmark_overlap(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_incremental_shape(spark):
+    """new-vs-index candidates exist for planted near-dups; no
+    index-vs-index pair is ever formed; new-new pairs are canonical."""
+    from pyspark.sql import functions as F
+
+    from docling_plus_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_prepare,
+    )
+
+    idx_rows = [(i, f"the quick brown fox jumps over dog number {i} "
+                    f"with words alpha beta gamma delta {i}") for i in range(20)]
+    index = spark.createDataFrame(idx_rows, "id long, text string")
+    new = spark.createDataFrame(
+        # 100+i are near-dups of indexed i (tail mutation); 200/201 are
+        # identical fresh twins (a new-new pair)
+        [(100 + i, idx_rows[i][1] + " tail") for i in range(0, 20, 5)]
+        + [(200, "completely fresh document words xyz abc def"),
+           (201, "completely fresh document words xyz abc def")],
+        "id long, text string",
+    )
+    pairs = minhash_incremental_pairs(
+        minhash_prepare(new, "id", "text", 16, 4),
+        minhash_prepare(index, "id", "text", 16, 4),
+    ).collect()
+    assert pairs
+    for r in pairs:
+        assert r["new_id"] >= 100  # left side is always a new doc
+        if not r["vs_index"]:
+            assert r["new_id"] < r["other_id"]
+    # the planted twins must meet as a new-new candidate at est 1.0
+    twin = [r for r in pairs
+            if not r["vs_index"] and r["new_id"] == 200 and r["other_id"] == 201]
+    assert twin and twin[0]["est_jaccard"] == 1.0
+    # each mutated doc finds its indexed original
+    vs_idx = {(r["new_id"], r["other_id"]) for r in pairs if r["vs_index"]}
+    for i in range(0, 20, 5):
+        assert (100 + i, i) in vs_idx

@@ -612,6 +612,47 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, m=4, k=16, iters=1)
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the per-stage survivor counts every
+    production pipeline reports: input → model-quality filter
+    (hash_classifier) → exact dedup (keep min id per normalized-text
+    hash) → length gate → deterministic 50% sample. One composed plan;
+    the oracle chains the same stages as CTEs."""
+    from pyspark.sql.window import Window as W
+
+    from docling_plus_spark.operators.quality import hash_classifier
+
+    d = _docs(spark, sf_dir)
+    passed = hash_classifier(d, "doc_id", "text").filter(F.col("label"))
+    s1 = d.join(passed.select("id"), d.doc_id == F.col("id")).select(
+        "doc_id", "text"
+    )
+    w = W.partitionBy(F.md5(F.lower(F.col("text")))).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    nw = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    )
+    s3 = s2.filter(nw.between(5, 100000))
+    s4 = s3.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8")
+
+    def cnt(idx, name, df):
+        return df.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        cnt(0, "input", d)
+        .unionAll(cnt(1, "quality", s1))
+        .unionAll(cnt(2, "exact_dedup", s2))
+        .unionAll(cnt(3, "length", s3))
+        .unionAll(cnt(4, "sampled", s4))
+    )
+
+
 def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup (the daily-crawl shape): today's
     batch — near-dup mutations of every 4th indexed doc plus genuinely
@@ -2382,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_composition": _q_script_composition,
         "pq_adc_topk": _q_pq_adc_topk,
         "minhash_incremental": _q_minhash_incremental,
+        "curation_funnel": _q_curation_funnel,
         # -- round-2 additions that fell outside the r2 window --
         # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
         #  levenshtein, base64_roundtrip, list_marker, chunkify,
@@ -2394,12 +2436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_merge": _q_text_merge,
         "heading_hierarchy": _q_heading_hierarchy,
         "list_numbering": _q_list_numbering,
-        "cell_cluster_assign": _q_cell_cluster_assign,
-        # ---- 50-query window boundary (ends at cell_cluster_assign).
+        # ---- 50-query window boundary (ends at list_numbering).
         #      otsl_dims / streaming_extract (r1-green) and extract_text
         #      (double-green r1+r2, still smoke-checked every round via
         #      entry()) sit just past it to fit
         #      bpe_train/bpe_encode/pq_codes. ----
+        "cell_cluster_assign": _q_cell_cluster_assign,
         "cluster_filter_remap": _q_cluster_filter_remap,
         "bbox_envelope": _q_bbox_envelope,
         "table_reindex": _q_table_reindex,
@@ -2776,6 +2818,29 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.quality",
             fromlist=["script_composition_sql"],
         ).script_composition_sql("doc_id", "text", "documents"),
+        "curation_funnel": """
+WITH scores AS ({hc}),
+s1 AS (SELECT d.doc_id, d.text
+       FROM documents d JOIN scores q ON d.doc_id = q.id AND q.label),
+s2 AS (SELECT doc_id, text FROM (
+         SELECT doc_id, text,
+                row_number() OVER (PARTITION BY md5(lower(text))
+                                   ORDER BY doc_id) AS rk
+         FROM s1) WHERE rk = 1),
+s3 AS (SELECT * FROM s2
+       WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> w <> '')) BETWEEN 5 AND 100000),
+s4 AS (SELECT * FROM s3
+       WHERE substr(md5(doc_id::varchar), 1, 1) < '8')
+SELECT 0 AS stage_idx, 'input' AS stage, count(*)::bigint AS n FROM documents
+UNION ALL SELECT 1, 'quality', count(*)::bigint FROM s1
+UNION ALL SELECT 2, 'exact_dedup', count(*)::bigint FROM s2
+UNION ALL SELECT 3, 'length', count(*)::bigint FROM s3
+UNION ALL SELECT 4, 'sampled', count(*)::bigint FROM s4
+""".format(hc=__import__(
+            "docling_plus_spark.operators.quality",
+            fromlist=["hash_classifier_sql"],
+        ).hash_classifier_sql("doc_id", "text", "documents")),
         "minhash_incremental": "WITH idx AS (SELECT doc_id AS id, text FROM documents),\n"
         "newdocs AS (\n"
         "  SELECT doc_id + 100000 AS id, text || ' epoch tail' AS text\n"

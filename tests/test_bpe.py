@@ -136,3 +136,38 @@ def test_bpe_train_sql_twin_matches(spark):
     )
     want = con.execute(bpe_train_sql(6)).fetchall()
     assert got == [(s, l, r, c) for s, l, r, c in want]
+
+
+def test_bpe_train_exhausts_merges_early(spark):
+    # corpus where only 2 merges are possible; asking for 8 must emit
+    # exactly the feasible sequence on BOTH engines (the SQL twin's
+    # later iterations produce empty argmax rows and contribute nothing)
+    import duckdb
+
+    from docling_plus_spark.operators.bpe import bpe_train, bpe_train_sql
+
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(df, n_merges=8).orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "b", 3)]  # 'ab' freq 3; one feasible merge
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT 1 AS doc_id, 'ab ab ab' AS text"
+    )
+    want = con.execute(bpe_train_sql(8)).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_bpe_sentinel_chars_filtered(spark):
+    from docling_plus_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "good words here \x01bad\x02 good words")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=2).collect()
+    for r in merges:
+        assert "\x01" not in r["left"] + r["right"]
+        assert "\x02" not in r["left"] + r["right"]

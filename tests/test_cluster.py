@@ -274,3 +274,34 @@ def test_pq_adc_topk_sql_twin_and_sanity(spark):
     assert [g[:3] for g in got] == [tuple(w[:3]) for w in want]
     for g, w in zip(got, want):
         assert abs(g[3] - w[3]) < 1e-9
+
+
+def test_pq_nondivisible_dims_consistent_with_twin(spark):
+    """d=10, m=4 → subvector len 2 (floor), trailing dims ignored the
+    same way on both engines."""
+    import duckdb
+
+    from docling_plus_spark.operators.cluster import pq_codes, pq_codes_sql
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(10)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["id"], r["sub"], r["code"]) for r in pq_codes(emb, m=4, k=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES %s) t(vec_id, embedding)"
+        % ", ".join("(%d, %s::double[])" % (i, v) for i, v in rows)
+    )
+    want = sorted((w[0], w[1], w[2]) for w in
+                  con.execute(pq_codes_sql(m=4, k=4)).fetchall())
+    assert got == want
+
+
+def test_kmeans_k_larger_than_corpus(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_lloyd(emb, k=8, iters=1).collect()
+    assert len(out) == 3  # every vector still assigned exactly once

@@ -290,3 +290,34 @@ def test_ccnet_cutpoints_variant_has_no_sort(spark):
     plan = _plan(ccnet_buckets_by_cutpoints(scored))
     assert "BroadcastHashJoin" in plan, plan[:1200]
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange operators — the storage layout already
+    co-locates keys (sources/bucketed.py; at 100 TB this converts every
+    repeat doc_id join from a corpus-wide shuffle into a free zip of
+    bucket files)."""
+    from docling_plus_spark.sources.bucketed import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(0, 1000).selectExpr(
+            "id AS doc_id", "concat('text ', id) AS text"
+        )
+        scores = spark.range(0, 1000).selectExpr(
+            "id AS doc_id", "cast(id % 7 AS double) AS score"
+        )
+        write_bucketed(docs, "bt_docs", "doc_id", n_buckets=4)
+        write_bucketed(scores, "bt_scores", "doc_id", n_buckets=4)
+        joined = read_table(spark, "bt_docs").join(
+            read_table(spark, "bt_scores"), "doc_id"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_scores")

@@ -612,6 +612,34 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, m=4, k=16, iters=1)
 
 
+def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 stateful streaming sessionization via native session_window
+    (streaming/stream.py:session_event_counts): events drain as one
+    micro-batch, then a far-future sentinel event in a second file
+    advances the watermark so the no-data finalization batch closes and
+    emits every real session exactly once (append mode)."""
+    import os
+    import tempfile
+
+    from docling_plus_spark.streaming.stream import run_session_stream_once
+
+    base = tempfile.mkdtemp(prefix="dps_sess_q_")
+    inp, outp, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    e.coalesce(1).write.parquet(os.path.join(inp, "b1"))
+    spark.sql(
+        "SELECT -1::bigint AS user_id, "
+        "timestamp'2034-01-01 00:00:00' AS ts, -1::bigint AS event_id"
+    ).coalesce(1).write.parquet(os.path.join(inp, "b2"))
+    run_session_stream_once(spark, os.path.join(inp, "*"), outp, ckpt)
+    return (
+        spark.read.parquet(outp)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel — the per-stage survivor counts every
     production pipeline reports: input → model-quality filter
@@ -2424,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "minhash_incremental": _q_minhash_incremental,
         "curation_funnel": _q_curation_funnel,
+        "streaming_sessionize": _q_streaming_sessionize,
         # -- round-2 additions that fell outside the r2 window --
         # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
         #  levenshtein, base64_roundtrip, list_marker, chunkify,
@@ -2435,12 +2464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_binding": _q_caption_binding,
         "text_merge": _q_text_merge,
         "heading_hierarchy": _q_heading_hierarchy,
-        "list_numbering": _q_list_numbering,
-        # ---- 50-query window boundary (ends at list_numbering).
+        # ---- 50-query window boundary (ends at heading_hierarchy).
         #      otsl_dims / streaming_extract (r1-green) and extract_text
         #      (double-green r1+r2, still smoke-checked every round via
         #      entry()) sit just past it to fit
         #      bpe_train/bpe_encode/pq_codes. ----
+        "list_numbering": _q_list_numbering,
         "cell_cluster_assign": _q_cell_cluster_assign,
         "cluster_filter_remap": _q_cluster_filter_remap,
         "bbox_envelope": _q_bbox_envelope,
@@ -2818,6 +2847,26 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.quality",
             fromlist=["script_composition_sql"],
         ).script_composition_sql("doc_id", "text", "documents"),
+        "streaming_sessionize": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       epoch(min(ts)) AS session_start,
+       epoch(max(ts)) + 1800 AS session_end,
+       count(*)::bigint AS n_events
+FROM s GROUP BY user_id, sid
+""",
         "curation_funnel": """
 WITH scores AS ({hc}),
 s1 AS (SELECT d.doc_id, d.text

@@ -167,3 +167,69 @@ def run_windowed_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization with Spark's native ``session_window``
+    (merge-on-overlap gap windows) — the stateful-streaming twin of the
+    batch lag/cumsum sessionize query.
+
+    Semantics (full timestamp precision): an event extends its user's
+    open session iff it arrives strictly inside ``last_event + gap``;
+    ``session_end = last_event + gap``. State is per (user, open
+    session) and is dropped when the watermark passes the session end —
+    bounded exactly like the tumbling-window agg in
+    :func:`windowed_event_counts`, and at 10^12 events it shards on
+    ``user_id`` with RocksDB state exactly like :func:`dedup_stream`.
+    """
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), sw.alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").cast("double").alias("session_start"),
+            F.col("sw.end").cast("double").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+def run_session_stream_once(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: str = "user_id long, ts timestamp, event_id long",
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain event files through the session aggregation (append mode:
+    a session reaches the sink only once the watermark proves it can no
+    longer grow). A caller that needs ALL sessions of a bounded input
+    flushed appends one far-future sentinel event in a later file: the
+    no-data finalization batch then closes every real session."""
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .format("parquet")
+        .load(input_path)
+    )
+    out = session_event_counts(ev, gap=gap, watermark=watermark)
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

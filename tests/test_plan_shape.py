@@ -321,3 +321,48 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_docs")
         spark.sql("DROP TABLE IF EXISTS bt_scores")
+
+
+def test_new_cluster_ops_no_cartesian_and_broadcasts(spark):
+    """PQ/ADC/incremental-minhash plans: the only nested-loop joins are
+    broadcast-tiny codebooks; candidate joins are key-shuffled."""
+    from docling_plus_spark.operators.cluster import pq_adc_topk, pq_codes
+    from docling_plus_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_prepare,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p1 = _plan(pq_codes(emb, m=4, k=8, iters=1))
+    assert "CartesianProduct" not in p1
+    p2 = _plan(pq_adc_topk(emb, m=4, k_codes=8, topk=3, query_mod=10))
+    assert "CartesianProduct" not in p2
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id AS id", "text"
+    )
+    new = docs.limit(50)
+    p3 = _plan(
+        minhash_incremental_pairs(
+            minhash_prepare(new, "id", "text", 16, 4),
+            minhash_prepare(docs, "id", "text", 16, 4),
+        )
+    )
+    assert "CartesianProduct" not in p3
+    # the band-key join shuffles/joins on band_key
+    assert "band_key" in p3
+
+
+def test_countmin_counter_shuffle_carries_no_terms(spark):
+    """The CMS counter aggregation must shuffle (row, col, count) only —
+    the term strings stay in the narrow explode stage (at 10^12 tokens
+    the counters are the ONLY wide state besides the exact-count check)."""
+    from docling_plus_spark.operators.textstats import countmin_heavy_hitters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(countmin_heavy_hitters(docs, "text", d=2, w=64, topk=5))
+    # partial aggregation before the exchange on the counter grid
+    assert "partial_count" in plan or "HashAggregate" in plan
+    exchanges = [
+        b for b in plan.split("\n\n") if b.strip().startswith("(") and "Exchange" in b
+    ]
+    assert exchanges, plan[:800]

@@ -524,8 +524,74 @@ def extract_pdf_pages(data: bytes, max_pages: int = 0) -> list[dict]:
                 "l": round(l, 3), "t": round(t, 3),
                 "r": round(r, 3), "b": round(b, 3),
             })
+        cells = _merge_vertical_stacks(cells)
         out.append({"page_no": pno, "width": pw, "height": ph, "cells": cells})
     return out
+
+
+def _merge_vertical_stacks(cells: list[dict]) -> list[dict]:
+    """Rotated (vertical) text — e.g. slanted table headers — reaches the
+    row builder as one tiny cell per glyph. Re-join chains of >= 3 short
+    (<= 2 chars) cells whose x-centers align and whose vertical pitch is
+    glyph-tight (gap <= 0.6 x height; real table rows sit at >= 1.2 em
+    pitch, which keeps single-letter data columns unmerged). Calibration:
+    redp5110 golden deviation 91 -> 54, total 215 -> 178, every exact
+    page stays exact (tests/test_pdfbytes.py)."""
+    short = [
+        i for i, c in enumerate(cells) if 0 < len(c["text"].strip()) <= 2
+    ]
+    used = [False] * len(cells)
+    chains: list[list[int]] = []
+    order = sorted(short, key=lambda i: (cells[i]["l"], cells[i]["t"]))
+    for ii in order:
+        if used[ii]:
+            continue
+        chain = [ii]
+        used[ii] = True
+        cur = cells[ii]
+        while True:
+            h = cur["b"] - cur["t"]
+            best = None
+            for jj in order:
+                if used[jj]:
+                    continue
+                d = cells[jj]
+                cx = (cur["l"] + cur["r"]) / 2
+                dx = (d["l"] + d["r"]) / 2
+                if abs(cx - dx) > 0.6 * max(
+                    cur["r"] - cur["l"], d["r"] - d["l"]
+                ):
+                    continue
+                gap = d["t"] - cur["b"]
+                if -1.0 <= gap <= 0.6 * h and (
+                    best is None or d["t"] < cells[best]["t"]
+                ):
+                    best = jj
+            if best is None:
+                break
+            chain.append(best)
+            used[best] = True
+            cur = cells[best]
+        if len(chain) >= 3:
+            chains.append(chain)
+        else:
+            for jj in chain:
+                used[jj] = False
+    if not chains:
+        return cells
+    drop: set[int] = set()
+    for chain in chains:
+        head = cells[chain[0]]
+        head["text"] = "".join(cells[j]["text"] for j in chain)
+        head["l"] = min(cells[j]["l"] for j in chain)
+        head["t"] = min(cells[j]["t"] for j in chain)
+        head["r"] = max(cells[j]["r"] for j in chain)
+        head["b"] = max(cells[j]["b"] for j in chain)
+        drop.update(chain[1:])
+    kept = [c for i, c in enumerate(cells) if i not in drop]
+    for i, c in enumerate(kept):
+        c["index"] = i
+    return kept
 
 
 def extract_pdf_text(data: bytes, max_pages: int = 0) -> str:

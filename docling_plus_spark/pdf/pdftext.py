@@ -420,13 +420,6 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
 
     for row in sorted(rows, key=lambda r: -r["t"]):
         rw = sorted(row["words"], key=lambda w: w.l)
-        # font-change cells are suppressed on bidi rows: there the
-        # direction-switch rule below already segments the line, and
-        # RTL text routinely mixes shaping fonts mid-run (calibration:
-        # the rule below moves the golden cell-count deviation
-        # 289 → 215 over the 32 reference pages while holding every
-        # previously-exact page exact — tests/test_pdfbytes.py)
-        row_has_rtl = any(_direction(x.text) == -1 for x in rw)
         seg: list[_Word] = [rw[0]]
         seg_r = rw[0].r
         seg_dir = _direction(rw[0].text)
@@ -443,9 +436,15 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
             # empty gap of the same width would
             wide_space = w.is_space and (w.r - w.l) > 2.0 * max(w.size, 1e-6)
             # a font switch (bold/italic/superscript runs) starts a new
-            # cell — docling-parse segments sanitized cells per style run
+            # cell — docling-parse segments sanitized cells per style run.
+            # Suppressed when either side of the pair is RTL: there the
+            # direction-switch rule already segments, and RTL text mixes
+            # shaping fonts mid-run (calibration: font splits moved the
+            # golden cell-count deviation 289 → 211 over the 32 reference
+            # pages with every previously-exact page held exact)
             font_break = (
-                not row_has_rtl
+                w_dir != -1
+                and seg_dir != -1
                 and not w.is_space
                 and w.font is not None
                 and seg_font is not None

@@ -87,16 +87,19 @@ def _content_tokens(data: bytes) -> Iterator[tuple[str, Any]]:
 
 class _GlyphQuad:
     __slots__ = (
-        "text", "l", "b", "r", "t", "size", "baseline", "is_space", "font"
+        "text", "l", "b", "r", "t", "size", "baseline", "is_space", "font",
+        "run",
     )
 
-    def __init__(self, text, l, b, r, t, size, baseline, is_space, font=None):
+    def __init__(self, text, l, b, r, t, size, baseline, is_space, font=None,
+                 run=0):
         self.text = text
         self.l, self.b, self.r, self.t = l, b, r, t
         self.size = size
         self.baseline = baseline
         self.is_space = is_space
         self.font = font  # BaseFont identity (segmentation signal)
+        self.run = run    # show-op counter (segmentation signal)
 
 
 class _TextExtractor:
@@ -109,6 +112,7 @@ class _TextExtractor:
         self.doc = doc
         self.glyphs: list[_GlyphQuad] = []
         self._font_cache: dict[int, BaseFont | None] = {}
+        self._run = 0  # incremented per show op
 
     def run(self, content: bytes, resources: Any, ctm: Matrix) -> None:
         self._execute(content, self.doc.resolve(resources) or {}, ctm, 0)
@@ -147,6 +151,8 @@ class _TextExtractor:
             nonlocal tm
             if font is None or len(self.glyphs) > self.MAX_GLYPHS:
                 return
+            self._run += 1
+            run = self._run
             # Tm is only translated between glyphs (advances), so
             # mc = Tm·CTM is loop-invariant: glyph-space coords map via
             # x' = xoff + x·tfs·th, y' = ts + y·tfs, then mc. The
@@ -179,7 +185,7 @@ class _TextExtractor:
                             " " if is_space else g.text,
                             min(dx0, dx1), min(dy0, dy1),
                             max(dx0, dx1), max(dy0, dy1),
-                            size or tfs, baseline, is_space, font,
+                            size or tfs, baseline, is_space, font, run,
                         ))
                     else:
                         pts = (
@@ -192,7 +198,7 @@ class _TextExtractor:
                         glyphs_out.append(_GlyphQuad(
                             " " if is_space else g.text,
                             min(xs), min(ys), max(xs), max(ys),
-                            size, _apply(mc, xl, ts)[1], is_space, font,
+                            size, _apply(mc, xl, ts)[1], is_space, font, run,
                         ))
                 xoff += adv
             tm = _mat_mul((1.0, 0.0, 0.0, 1.0, xoff, 0.0), tm)
@@ -320,11 +326,14 @@ def _direction(text: str) -> int:
 
 
 class _Word:
-    __slots__ = ("text", "l", "b", "r", "t", "size", "is_space", "font")
+    __slots__ = (
+        "text", "l", "b", "r", "t", "size", "is_space", "font", "run",
+    )
 
     def __init__(self, glyphs: list[_GlyphQuad]):
         g0 = glyphs[0]
         self.font = g0.font
+        self.run = glyphs[-1].run
         l, b, r, t, size = g0.l, g0.b, g0.r, g0.t, g0.size
         parts = [g0.text]
         for g in glyphs[1:]:

@@ -1,0 +1,184 @@
+"""Property-based (hypothesis) fuzzing of the engine's deterministic
+kernels via their DuckDB twins against independent pure-Python models.
+
+The oracle harness (tools/oracle_check.py) proves Spark == DuckDB twin
+on the driver corpora; these tests close the triangle by proving
+DuckDB twin == an independent Python reference on *arbitrary* inputs —
+so a bug would have to fool two engines and two implementations the
+same way on fuzzed data to slip through."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+def _eng_lower(s: str) -> str:
+    return s.lower()
+
+
+# Exclude the handful of codepoints whose Python lower() is multi-char
+# full case folding ('İ' U+0130 → 'i̇') — DuckDB/Spark use Unicode
+# SIMPLE case mapping there ('İ' → 'i'), a deliberate engine semantic
+# outside the tokenization contract under test.
+WORD = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x2FF
+    ).filter(lambda c: len(c.lower()) == 1),
+    min_size=1,
+    max_size=6,
+)
+TEXT = st.lists(WORD, min_size=0, max_size=30).map(" ".join)
+
+
+def _con(rows, cols="doc_id, text"):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    return con
+
+
+# --------------------------------------------------------------------- BPE
+
+def _ref_bpe(texts, n):
+    freqs = Counter()
+    for t in texts:
+        for w in _eng_lower(t).split():
+            freqs[tuple(w)] += 1
+    freqs = dict(freqs)
+    merges = []
+    for step in range(1, n + 1):
+        pc = Counter()
+        for syms, f in freqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        pair = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((step, pair[0], pair[1], pc[pair]))
+        nxt = Counter()
+        for syms, f in freqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += f
+        freqs = dict(nxt)
+    return merges
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8), st.integers(1, 6))
+def test_bpe_twin_matches_reference_on_fuzz(texts, n):
+    from docling_plus_spark.operators.bpe import bpe_train_sql
+
+    con = _con(list(enumerate(texts)))
+    got = [tuple(r) for r in con.execute(bpe_train_sql(n)).fetchall()]
+    assert got == _ref_bpe(texts, n)
+
+
+# ------------------------------------------------------- hash classifier
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_hash_classifier_twin_matches_reference_on_fuzz(texts):
+    from docling_plus_spark.operators.quality import (
+        HASH_DIM,
+        _MIX,
+        _MOD,
+        hash_classifier_sql,
+    )
+
+    con = _con(list(enumerate(texts)))
+    got = {
+        r[0]: r
+        for r in con.execute(
+            hash_classifier_sql("doc_id", "text", "documents")
+        ).fetchall()
+    }
+
+    def weight(w):
+        b = int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % HASH_DIM
+        return (b * _MIX % _MOD) / _MOD - 0.5
+
+    for i, t in enumerate(texts):
+        words = _eng_lower(t).split()
+        if not words:
+            assert i not in got
+            continue
+        m = sum(weight(w) for w in words) / len(words)
+        want = round(1.0 / (1.0 + math.exp(-4.0 * m)), 6)
+        assert got[i][1] == len(words)
+        assert got[i][2] == pytest.approx(want, abs=1e-9)
+
+
+# --------------------------------------------------- URL canonicalization
+
+URL = st.builds(
+    lambda scheme, host, port, path, q, frag: (
+        f"{scheme}://{host}{port}{path}{q}{frag}"
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.from_regex(r"[A-Za-z0-9.-]{1,12}\.test", fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(r"(/[A-Za-z0-9_.~-]{0,8}){0,3}", fullmatch=True),
+    st.sampled_from(
+        ["", "?a=1", "?utm_source=x", "?utm_a=1&b=2", "?b=2&fbclid=z&a=1"]
+    ),
+    st.sampled_from(["", "#frag", "#a#b"]),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(URL, min_size=1, max_size=10))
+def test_canonical_url_idempotent_and_clean(urls):
+    from docling_plus_spark.operators.webclean import canonical_url_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    expr = canonical_url_sql("url")
+    once = [r[0] for r in con.execute(f"SELECT {expr} FROM u").fetchall()]
+    con.execute("CREATE TABLE v (url VARCHAR)")
+    con.executemany("INSERT INTO v VALUES (?)", [(c,) for c in once])
+    twice = [r[0] for r in con.execute(f"SELECT {expr} FROM v").fetchall()]
+    assert once == twice  # idempotent
+    for c in once:
+        assert "#" not in c
+        assert "utm_" not in c and "fbclid" not in c
+        head = c.split("/", 3)[0:3]
+        assert "".join(head) == "".join(head).lower()
+
+
+# ------------------------------------------------------ script composition
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=6))
+def test_script_fractions_bounded(texts):
+    from docling_plus_spark.operators.quality import (
+        SCRIPT_CLASSES,
+        script_composition_sql,
+    )
+
+    clean = [t.replace("'", " ") for t in texts]
+    con = _con(list(enumerate(clean)))
+    rows = con.execute(
+        script_composition_sql("doc_id", "text", "documents")
+    ).fetchall()
+    names = [n for n, _, _ in SCRIPT_CLASSES]
+    for r in rows:
+        fracs = dict(zip(names, r[2:-1]))
+        for v in fracs.values():
+            assert 0.0 <= v <= 1.0
+        assert r[-1] in names + ["other"]
+        if all(v == 0.0 for v in fracs.values()):
+            assert r[-1] == "other"

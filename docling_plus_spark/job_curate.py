@@ -1,0 +1,146 @@
+"""spark-submit entrypoint for the training-data curation pipeline.
+
+The extraction job (``job.py``) turns raw pages into documents; this job
+turns documents into a training corpus — the second half of the 100 TB
+story. Stages compose left-to-right over a (doc_id, text[, lang]) table,
+each one a filter/rewrite built from the operators package, and the job
+prints ONE JSON funnel line (per-stage survivor counts — the report
+every dataset release ships) plus writes the surviving documents.
+
+    spark-submit --py-files dist/docling_plus_spark.zip \\
+        docling_plus_spark/job_curate.py \\
+        --input  /table/documents --output /table/curated \\
+        --stages gopher,c4,classifier,exact_dedup,minhash_dedup,sample \\
+        --sample-rate 0.5
+
+Every stage is deterministic (hash-Bernoulli sampling, keep-lowest-id
+dedup), so re-running the job on the same input produces byte-identical
+output — the property that makes corpus builds auditable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _st_gopher(df: DataFrame, args) -> DataFrame:
+    from docling_plus_spark.operators.quality import gopher_signals
+
+    keep = gopher_signals(df, "doc_id", "text").filter("gopher_pass")
+    return df.join(keep.select(F.col("id").alias("doc_id")), "doc_id")
+
+
+def _st_c4(df: DataFrame, args) -> DataFrame:
+    from docling_plus_spark.operators.quality import c4_clean
+
+    cleaned = c4_clean(df, "doc_id", "text").filter("c4_keep")
+    return (
+        df.drop("text")
+        .join(
+            cleaned.select(
+                F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+    )
+
+
+def _st_classifier(df: DataFrame, args) -> DataFrame:
+    from docling_plus_spark.operators.quality import hash_classifier
+
+    keep = hash_classifier(df, "doc_id", "text").filter("label")
+    return df.join(keep.select(F.col("id").alias("doc_id")), "doc_id")
+
+
+def _st_exact_dedup(df: DataFrame, args) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.lower(F.col("text")))).orderBy("doc_id")
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def _st_minhash_dedup(df: DataFrame, args) -> DataFrame:
+    from docling_plus_spark.operators.dedup import minhash_dedup_keep
+
+    keep = minhash_dedup_keep(
+        df, "doc_id", "text", threshold=args.minhash_threshold
+    )
+    return df.join(keep.select(F.col("keep_id").alias("doc_id")), "doc_id")
+
+
+def _st_sample(df: DataFrame, args) -> DataFrame:
+    # deterministic hash-Bernoulli keep (zero shuffle)
+    bound = int(args.sample_rate * (1 << 24))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return df.filter(bucket < bound)
+
+
+STAGES: dict[str, Callable] = {
+    "gopher": _st_gopher,
+    "c4": _st_c4,
+    "classifier": _st_classifier,
+    "exact_dedup": _st_exact_dedup,
+    "minhash_dedup": _st_minhash_dedup,
+    "sample": _st_sample,
+}
+
+
+def parse_args(argv: Optional[list] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="docling-plus-spark curation job")
+    p.add_argument("--input", required=True,
+                   help="documents parquet (doc_id, text[, lang])")
+    p.add_argument("--output", required=True, help="curated parquet dir")
+    p.add_argument("--stages", default="gopher,exact_dedup,minhash_dedup",
+                   help=f"comma-separated from {sorted(STAGES)}")
+    p.add_argument("--sample-rate", type=float, default=0.5)
+    p.add_argument("--minhash-threshold", type=float, default=0.7)
+    return p.parse_args(argv)
+
+
+def run(spark: SparkSession, args: argparse.Namespace) -> int:
+    from docling_plus_spark.sources.web_pages import read_split
+
+    names = [s for s in args.stages.split(",") if s]
+    unknown = [s for s in names if s not in STAGES]
+    if unknown:
+        raise SystemExit(f"unknown stages: {unknown}; have {sorted(STAGES)}")
+
+    df = read_split(spark, args.input)
+    funnel = [{"stage": "input", "n": df.count()}]
+    for s in names:
+        df = STAGES[s](df, args)
+        # checkpoint between stages: each stage's lineage is one filter
+        # chain; truncating keeps the composed job's DAG flat no matter
+        # how many stages are requested
+        df = df.localCheckpoint()
+        funnel.append({"stage": s, "n": df.count()})
+    df.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"funnel": funnel, "output": args.output}), flush=True)
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    from docling_plus_spark.job import build_job_session
+
+    args = parse_args(argv)
+    spark = build_job_session("docling-plus-spark-curate")
+    try:
+        return run(spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,3 +89,56 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     # lineage metrics committed alongside, both epochs present
     met = SnapshotTable(spark, out_dir + "/_metrics").read()
     assert {r.epoch for r in met.select("epoch").distinct().collect()} == {0, 1}
+
+
+def test_spark_submit_curation_job(tmp_path):
+    """The curation CLI end-to-end via spark-submit --py-files: stages
+    compose, the funnel is monotone non-increasing, and the run is
+    deterministic (second run writes the identical id set)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "docling_plus_spark.zip"))
+    from docling_plus_spark.plans import build_session
+
+    spark = build_session("local[2]", shuffle_partitions=2)
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(
+        4
+    ).write.parquet(docs_path)
+
+    def submit(outdir):
+        cmd = [
+            SPARK_SUBMIT or "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "docling_plus_spark", "job_curate.py"),
+            "--input", docs_path,
+            "--output", outdir,
+            "--stages", "classifier,exact_dedup,minhash_dedup,sample",
+            "--sample-rate", "0.5",
+        ]
+        return subprocess.run(
+            cmd, capture_output=True, text=True, timeout=420,
+            cwd="/tmp", env={**os.environ, "PYTHONPATH": ""},
+        )
+
+    r = submit(str(tmp_path / "out1"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [json.loads(l) for l in r.stdout.splitlines()
+            if l.startswith("{")][-1]
+    ns = [e["n"] for e in line["funnel"]]
+    assert ns[0] == spark.read.parquet(docs_path).count()
+    assert all(a >= b for a, b in zip(ns, ns[1:])), ns  # monotone funnel
+    assert ns[-1] > 0
+    ids1 = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out1")).collect()}
+    assert len(ids1) == ns[-1]
+
+    r2 = submit(str(tmp_path / "out2"))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    ids2 = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out2")).collect()}
+    assert ids1 == ids2  # deterministic end to end

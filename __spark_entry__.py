@@ -486,6 +486,24 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_on_pairs(d, cand, "id", "text")
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder one-sided containment on minhash candidates — the
+    asymmetric near-dup signal (short doc quoted inside a long one has
+    Jaccard ~ 0 but containment ~ 1); both directions emitted
+    (operators/dedup.py:containment_on_pairs)."""
+    from docling_plus_spark.operators.dedup import (
+        containment_on_pairs,
+        minhash_candidate_pairs,
+        minhash_prepare,
+    )
+
+    d = _neardup_corpus(spark, sf_dir)
+    cand = minhash_candidate_pairs(minhash_prepare(d, "id", "text", 16, 4)).select(
+        "id_a", "id_b"
+    )
+    return containment_on_pairs(d, cand, "id", "text")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.dedup import simhash
 
@@ -2513,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "asof_join": _q_asof_join,
         "jaccard_pairs": _q_jaccard_pairs,
+        "containment_pairs": _q_containment_pairs,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
         #    slice evicted this round to fit never-checked queries) --
         "cell_sort": _q_cell_sort,
@@ -2796,6 +2815,7 @@ FROM events l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.rts
 """,
         "jaccard_pairs": _jaccard_oracle(),
+        "containment_pairs": _containment_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_near": _simhash_near_oracle(),
         "ann_topk": f"""
@@ -3314,6 +3334,24 @@ shx AS (SELECT id, {shingles_sql("text")} AS sh FROM corpus)
 SELECT p.id_a, p.id_b,
        round(len(list_intersect(a.sh, b.sh))::double
              / len(list_distinct(list_concat(a.sh, b.sh)))::double, 6) AS jaccard
+FROM (SELECT DISTINCT id_a, id_b FROM pairs) p
+JOIN shx a ON a.id = p.id_a JOIN shx b ON b.id = p.id_b
+"""
+
+
+def _containment_oracle() -> str:
+    from docling_plus_spark.operators.dedup import shingles_sql
+
+    return f"""
+WITH {_minhash_oracle_prefix()},
+shx AS (SELECT id, {shingles_sql("text")} AS sh FROM corpus)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(a.sh, b.sh))::double
+             / greatest(len(list_distinct(a.sh)), 1)::double, 6)
+         AS containment_a_in_b,
+       round(len(list_intersect(a.sh, b.sh))::double
+             / greatest(len(list_distinct(b.sh)), 1)::double, 6)
+         AS containment_b_in_a
 FROM (SELECT DISTINCT id_a, id_b FROM pairs) p
 JOIN shx a ON a.id = p.id_a JOIN shx b ON b.id = p.id_b
 """

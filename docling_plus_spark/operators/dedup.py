@@ -857,3 +857,47 @@ SELECT DISTINCT n.id AS new_id, o.other_id,
 FROM prep_new n JOIN others o USING (band_key)
 WHERE o.vs_index OR n.id < o.other_id
 """
+
+
+def containment_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """One-sided containment |A∩B| / |A| for candidate pairs — the
+    asymmetric companion to Jaccard (Broder's resemblance vs
+    containment): a tweet quoted inside an article has Jaccard ≈ 0 but
+    containment ≈ 1 from the tweet's side. Emitted both directions per
+    pair so consumers can threshold either side.
+
+    Same plan shape as :func:`jaccard_on_pairs`: two id-keyed joins of
+    the candidate list against the shingle table; only candidate pairs
+    ever meet, so cost is O(candidates), never O(n²).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    out = (
+        pairs.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    da = F.greatest(F.size(F.array_distinct(F.col("sh_a"))), F.lit(1))
+    db = F.greatest(F.size(F.array_distinct(F.col("sh_b"))), F.lit(1))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / da.cast("double"), 6).alias(
+            "containment_a_in_b"
+        ),
+        F.round(inter.cast("double") / db.cast("double"), 6).alias(
+            "containment_b_in_a"
+        ),
+    )

@@ -516,3 +516,17 @@ def test_minhash_incremental_shape(spark):
     vs_idx = {(r["new_id"], r["other_id"]) for r in pairs if r["vs_index"]}
     for i in range(0, 20, 5):
         assert (100 + i, i) in vs_idx
+
+
+def test_containment_asymmetric(spark):
+    """A short doc fully inside a long one: containment(short in long)
+    = 1.0 while Jaccard is small."""
+    from docling_plus_spark.operators.dedup import containment_on_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    longd = short + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(30))
+    df = spark.createDataFrame([(1, short), (2, longd)], "id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = containment_on_pairs(df, pairs, "id", "text").collect()[0]
+    assert r["containment_a_in_b"] == 1.0
+    assert r["containment_b_in_a"] < 0.2

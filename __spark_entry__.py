@@ -2334,6 +2334,31 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same synthetic link graph as
+    pagerank: 4 rounds, max-normalized + round-6 per half-round so the
+    unrolled CTE oracle replays the trajectory exactly
+    (operators/links.py:hits)."""
+    from docling_plus_spark.operators.links import hits
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    e = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), F.pmod(F.col("doc_id"), F.lit(3)) + 1)
+            ).alias("j"),
+        )
+        .select(
+            "src",
+            F.pmod(F.col("src") * 7 + F.col("j") * 13, F.lit(n)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return hits(e, iterations=4)
+
+
 _PAGERANK_EDGE_CTE = """e AS (
   SELECT src, dst FROM (
     SELECT doc_id AS src,
@@ -2341,6 +2366,38 @@ _PAGERANK_EDGE_CTE = """e AS (
     FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)
   ) WHERE src != dst
 )"""
+
+
+def _hits_oracle(iters: int = 4) -> str:
+    parts = [
+        _PAGERANK_EDGE_CTE,
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
+        "h0 AS (SELECT node, 1.0::double AS hub FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""ar{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(s.v, 0.0) AS v FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub) AS v
+    FROM e JOIN h{k-1} h ON e.src = h.node GROUP BY 1) s
+  ON s.node = n.node)""")
+        parts.append(f"""a{k} AS MATERIALIZED (
+  SELECT node, round(v / greatest((SELECT max(v) FROM ar{k}), 1e-12), 6)
+         AS authority FROM ar{k})""")
+        parts.append(f"""hr{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(s.v, 0.0) AS v FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.authority) AS v
+    FROM e JOIN a{k} a ON e.dst = a.node GROUP BY 1) s
+  ON s.node = n.node)""")
+        parts.append(f"""h{k} AS MATERIALIZED (
+  SELECT node, round(v / greatest((SELECT max(v) FROM hr{k}), 1e-12), 6)
+         AS hub FROM hr{k})""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT n.node, h.hub, a.authority FROM nodes n "
+        f"JOIN h{iters} h ON h.node = n.node "
+        f"JOIN a{iters} a ON a.node = n.node"
+    )
 
 
 def _pagerank_oracle(iters: int = 6) -> str:
@@ -2452,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,
         "outlinks": _q_outlinks,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "wet_sink": _q_wet_sink,
         "sequence_pack": _q_sequence_pack,
         "substring_dedup": _q_substring_dedup,
@@ -2492,7 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vtt_extract": _q_vtt_extract,
         "caption_binding": _q_caption_binding,
         "text_merge": _q_text_merge,
-        # ---- 50-query window boundary (ends at text_merge).
+        # ---- 50-query window boundary (ends at caption_binding).
         #      otsl_dims / streaming_extract (r1-green) and extract_text
         #      (double-green r1+r2, still smoke-checked every round via
         #      entry()) sit just past it to fit
@@ -3164,6 +3222,7 @@ SELECT 'https://synth.test/doc/' || doc_id::varchar,
 FROM documents
 """,
         "pagerank": _pagerank_oracle(6),
+        "hits": _hits_oracle(4),
         "robots_gate": """
 SELECT 'https://h' || (doc_id % 7)::varchar || '.test' ||
        CASE doc_id % 4

@@ -327,3 +327,81 @@ def frontier_schedule(
             ),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999): ``iterations`` rounds of
+    auth(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v} auth(v), each vector
+    max-normalized and rounded to 6 decimals per round so the unrolled
+    DuckDB twin replays the trajectory bit-for-bit.
+
+    Output: (node, hub, authority); nodes with no in-edges get
+    authority 0, no out-edges hub 0. Same 100 TB shape as
+    :func:`pagerank`: one edge-keyed shuffle per half-round, scores are
+    (node, double) pairs, the max is a broadcast scalar (never a
+    collect), localCheckpoint per round keeps lineage flat.
+    """
+    spark = edges.sparkSession
+    conf = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(conf, "true")
+    spark.conf.set(conf, "false")
+    try:
+        return _hits_loop(edges, iterations, src, dst)
+    finally:
+        spark.conf.set(conf, prev)
+
+
+def _hits_loop(
+    edges: DataFrame, iterations: int, src: str, dst: str
+) -> DataFrame:
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        mx = scores.agg(
+            F.greatest(F.max(col), F.lit(1e-12)).alias("_mx")
+        )
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "node", F.round(F.col(col) / F.col("_mx"), 6).alias(col)
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(0.0).alias("authority"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=True)
+    return nodes.join(hub, "node").join(auth, "node").select(
+        "node", "hub", "authority"
+    )

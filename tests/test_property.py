@@ -182,3 +182,36 @@ def test_script_fractions_bounded(texts):
         assert r[-1] in names + ["other"]
         if all(v == 0.0 for v in fracs.values()):
             assert r[-1] == "other"
+
+
+# ------------------------------------------------------- PDF robustness
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.binary(min_size=1, max_size=12),
+    st.integers(0, 3),
+)
+def test_pdf_parser_survives_byte_mutations(pos, junk, mode):
+    """Arbitrary corruption of a valid PDF must either parse (possibly
+    partially) or raise the classified NeedsNativeParserError — never an
+    unhandled exception (errors become failure rows, not job failures)."""
+    from docling_plus_spark.pdf.pdfbytes import NeedsNativeParserError
+    from docling_plus_spark.pdf.pdftext import extract_pdf_pages
+    from docling_plus_spark.pdf.synth import make_text_pdf
+
+    base = make_text_pdf("hello fuzzing world " * 20)
+    p = pos % len(base)
+    if mode == 0:
+        data = base[:p] + junk + base[p:]
+    elif mode == 1:
+        data = base[:p] + base[p + len(junk):]
+    elif mode == 2:
+        data = base[:p] + junk + base[p + len(junk):]
+    else:
+        data = junk + base
+    try:
+        pages = extract_pdf_pages(data)
+        assert isinstance(pages, list)
+    except NeedsNativeParserError:
+        pass

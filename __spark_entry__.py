@@ -486,6 +486,17 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_on_pairs(d, cand, "id", "text")
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the full FAISS billion-scale ANN plan composed
+    from the coarse quantizer, PQ codes, and ADC lookup tables
+    (operators/cluster.py:ivfpq_topk); candidates form only inside
+    probed lists and the wide joins move integers, never vectors."""
+    from docling_plus_spark.operators.cluster import ivfpq_topk
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(emb, n_lists=8, m=4, k_codes=16, topk=5, nprobe=2)
+
+
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder one-sided containment on minhash candidates — the
     asymmetric near-dup signal (short doc quoted inside a long one has
@@ -2590,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_pairs": _q_containment_pairs,
+        "ivfpq_topk": _q_ivfpq_topk,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
         #    slice evicted this round to fit never-checked queries) --
         "cell_sort": _q_cell_sort,
@@ -2874,6 +2886,9 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "ivfpq_topk": __import__(
+            "docling_plus_spark.operators.cluster", fromlist=["ivfpq_topk_sql"]
+        ).ivfpq_topk_sql(n_lists=8, m=4, k_codes=16, topk=5, nprobe=2),
         "simhash": _simhash_oracle(),
         "simhash_near": _simhash_near_oracle(),
         "ann_topk": f"""

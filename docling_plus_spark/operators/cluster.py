@@ -507,3 +507,154 @@ SELECT qid, rk, xid, adist FROM (
                                ORDER BY adist ASC, xid) AS rk
   FROM adist
 ) WHERE rk <= {topk}"""
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_lists: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    topk: int = 5,
+    nprobe: int = 2,
+    query_mod: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the full FAISS billion-scale plan assembled from
+    this module's parts: a coarse quantizer routes vectors to inverted
+    lists (spherical k-means seeds, 1 Lloyd round), PQ codes compress
+    every vector to m bytes, and a query scans only its ``nprobe``
+    nearest lists using ADC lookup tables (no vector math per pair).
+
+    Simplification vs FAISS: codes quantize the raw vectors, not the
+    per-list residuals — residual encoding changes constants, not the
+    plan shape, and the shape is the point: the candidate join shuffles
+    on (list, sub, code) integers; the only per-pair work is summing m
+    looked-up doubles. Output: (qid, rk, xid, adist), ascending ADC
+    distance (round 4), tie on xid; self-matches excluded; queries are
+    the ``id % query_mod == 0`` slice.
+    """
+    base = _base(emb, id_col, vec_col)
+    coarse = init_centroids(base, n_lists)
+    coarse = _recompute(_assign(base, coarse)).localCheckpoint()
+    assigned = _assign(base, coarse).select(
+        "id", F.col("cluster").alias("list_id")
+    )
+    # PQ codes for the whole corpus (subspace k-means as in pq_codes)
+    sv = _sub_split(emb, m, id_col, vec_col)
+    w = Window.partitionBy("sub").orderBy("id")
+    cents = (
+        sv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_codes)
+        .select(
+            "sub", (F.col("rk") - 1).alias("code"), F.col("svec").alias("cemb")
+        )
+    )
+    cents = _pq_recompute(_pq_assign(sv, cents)).localCheckpoint()
+    codes = _pq_assign(sv, cents).select("id", "sub", "code")
+
+    # queries probe their nprobe nearest lists
+    qbase = base.filter(F.col("id") % query_mod == 0)
+    qscored = qbase.crossJoin(F.broadcast(coarse)).select(
+        "id",
+        "cluster",
+        F.round(_dot(F.col("uemb"), F.col("cemb")), 4).alias("ccos"),
+    )
+    wq = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    probes = (
+        qscored.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= nprobe)
+        .select(F.col("id").alias("qid"), F.col("cluster").alias("list_id"))
+    )
+    # ADC lookup tables per query
+    qsv = sv.filter(F.col("id") % query_mod == 0)
+    pdist = qsv.join(F.broadcast(cents), "sub").select(
+        F.col("id").alias("qid"),
+        "sub",
+        "code",
+        F.round(_sqdist(F.col("svec"), F.col("cemb")), 6).alias("pd"),
+    )
+    # candidates: ids in the probed lists only
+    cand = probes.join(assigned.withColumnRenamed("id", "xid"), "list_id").select(
+        "qid", "xid"
+    )
+    joined = (
+        cand.join(codes.select(F.col("id").alias("xid"), "sub", "code"), "xid")
+        .join(pdist, ["qid", "sub", "code"])
+        .filter(F.col("qid") != F.col("xid"))
+        .groupBy("qid", "xid")
+        .agg(F.round(F.sum("pd"), 4).alias("adist"), F.count("*").alias("ns"))
+        .filter(F.col("ns") == m)
+        .drop("ns")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("xid"))
+    return (
+        joined.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= topk)
+        .select("qid", "rk", "xid", "adist")
+    )
+
+
+def ivfpq_topk_sql(
+    n_lists: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    topk: int = 5,
+    nprobe: int = 2,
+    query_mod: int = 20,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`."""
+    coarse_body, final = _lloyd_ctes(n_lists, 1, table, id_col, vec_col)
+    pq = pq_codes_sql(m, k_codes, 1, table, id_col, vec_col)
+    pq_body = pq[len("WITH ") : pq.rindex("SELECT id, sub, code, dist")]
+    # the coarse chain and the PQ chain both emit cents*/a*/afinal CTE
+    # names — scope the PQ chain's under a pq prefix
+    import re as _re
+
+    pq_body = pq_body.replace("afinal", "pqafinal")
+    pq_body = _re.sub(r"\bcents(\d)\b", r"pqcents\1", pq_body)
+    pq_body = _re.sub(r"\ba(\d)\b", r"pqa\1", pq_body)
+    sqd = (
+        "round(list_aggregate(list_transform(range(1, len(q.svec) + 1), "
+        "j -> (q.svec[j] - c.cemb[j]) * (q.svec[j] - c.cemb[j])), 'sum'), 6)"
+    )
+    return f"""WITH {coarse_body},
+assigned AS (SELECT id, cluster AS list_id FROM {final}),
+{pq_body.rstrip()},
+codes AS (SELECT id AS xid, sub, code FROM pqafinal),
+probes AS (
+  SELECT id AS qid, cluster AS list_id FROM (
+    SELECT b.id, c.cluster,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY round(list_dot_product(b.uemb, c.cemb), 4) DESC,
+                      c.cluster) AS crk
+    FROM base b CROSS JOIN cents1 c
+    WHERE b.id % {query_mod} = 0) WHERE crk <= {nprobe}
+),
+pdist AS (
+  SELECT q.id AS qid, q.sub, c.code, {sqd} AS pd
+  FROM sv q JOIN pqcents1 c USING (sub)
+  WHERE q.id % {query_mod} = 0
+),
+cand AS (
+  SELECT p.qid, a.id AS xid FROM probes p
+  JOIN assigned a USING (list_id)
+),
+adist AS (
+  SELECT c.qid, c.xid, round(sum(d.pd), 4) AS adist
+  FROM cand c
+  JOIN codes x ON x.xid = c.xid
+  JOIN pdist d ON d.qid = c.qid AND d.sub = x.sub AND d.code = x.code
+  WHERE c.qid != c.xid
+  GROUP BY 1, 2
+  HAVING count(*) = {m}
+)
+SELECT qid, rk, xid, adist FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY adist ASC, xid) AS rk
+  FROM adist
+) WHERE rk <= {topk}"""

@@ -679,6 +679,52 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dataset-card rollup — the release report every
+    corpus ships: doc/token/char totals, mean classifier score, and the
+    modal writing system, in ONE composed plan over the quality +
+    script operators."""
+    from docling_plus_spark.operators.quality import (
+        hash_classifier,
+        script_composition,
+    )
+    from pyspark.sql.window import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    )
+    base = d.select(
+        "doc_id", "lang", toks.alias("n_tokens"), F.length("text").alias("n_chars")
+    )
+    score = hash_classifier(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    script = script_composition(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "main_script"
+    )
+    j = base.join(score, "doc_id", "left").join(script, "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+    )
+    modal = (
+        j.groupBy("lang", "main_script")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("n"), F.asc("main_script"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("lang", F.col("main_script").alias("modal_script"))
+    )
+    return agg.join(modal, "lang")
+
+
 def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel — the per-stage survivor counts every
     production pipeline reports: input → model-quality filter
@@ -2602,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_pairs": _q_containment_pairs,
         "ivfpq_topk": _q_ivfpq_topk,
+        "dataset_card": _q_dataset_card,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
         #    slice evicted this round to fit never-checked queries) --
         "cell_sort": _q_cell_sort,
@@ -2886,6 +2933,48 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "dataset_card": """
+WITH base AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+),
+score AS ({hc}),
+script AS ({sc}),
+j AS (
+  SELECT b.*, s.score, c.main_script
+  FROM base b LEFT JOIN score s ON b.doc_id = s.id
+  JOIN script c ON b.doc_id = c.id
+),
+agg AS (
+  SELECT lang, count(*)::bigint AS n_docs,
+         sum(n_tokens)::bigint AS total_tokens,
+         sum(n_chars)::bigint AS total_chars,
+         round(avg(score), 6) AS mean_score
+  FROM j GROUP BY 1
+),
+modal AS (
+  SELECT lang, main_script AS modal_script FROM (
+    SELECT lang, main_script, count(*) AS n,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, main_script) AS rk
+    FROM j GROUP BY lang, main_script) WHERE rk = 1
+)
+SELECT a.lang, a.n_docs, a.total_tokens, a.total_chars, a.mean_score,
+       m.modal_script
+FROM agg a JOIN modal m ON a.lang = m.lang
+""".format(
+            hc=__import__(
+                "docling_plus_spark.operators.quality",
+                fromlist=["hash_classifier_sql"],
+            ).hash_classifier_sql("doc_id", "text", "documents"),
+            sc=__import__(
+                "docling_plus_spark.operators.quality",
+                fromlist=["script_composition_sql"],
+            ).script_composition_sql("doc_id", "text", "documents"),
+        ),
         "ivfpq_topk": __import__(
             "docling_plus_spark.operators.cluster", fromlist=["ivfpq_topk_sql"]
         ).ivfpq_topk_sql(n_lists=8, m=4, k_codes=16, topk=5, nprobe=2),

@@ -458,15 +458,14 @@ class HtmlConverter:
 
     # ------------------------------------------------- inline text extract
     def _collect_parent_format_tags(self, item) -> list[str]:
-        tags = []
-        for format_tag in _FORMAT_TAG_MAP:
-            this_parent = item.parent
-            while this_parent is not None:
-                if this_parent.name == format_tag:
-                    tags.append(format_tag)
-                    break
-                this_parent = this_parent.parent
-        return tags
+        # one ancestor walk, then _FORMAT_TAG_MAP-ordered filter — same
+        # output as walking once per format tag, O(depth) not O(7·depth)
+        seen = set()
+        this_parent = item.parent
+        while this_parent is not None:
+            seen.add(this_parent.name)
+            this_parent = this_parent.parent
+        return [t for t in _FORMAT_TAG_MAP if t in seen]
 
     @property
     def _formatting(self) -> Optional[Formatting]:

@@ -679,6 +679,31 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc (gibberish/encoding-noise
+    signal; operators/textstats.py:char_entropy)."""
+    from docling_plus_spark.operators.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def _q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PMI collocations within a 2-token window
+    (operators/textstats.py:pmi_pairs); vocabulary-keyed shuffles only."""
+    from docling_plus_spark.operators.textstats import pmi_pairs
+
+    return pmi_pairs(_docs(spark, sf_dir), "text", window=2, min_count=5, topk=20)
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth at 10 corpus prefixes
+    (operators/textstats.py:vocab_growth): first-occurrence counting via
+    one vocab-keyed min-id shuffle, cumulative window over doc ids."""
+    from docling_plus_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir), n_points=10)
+
+
 def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language dataset-card rollup — the release report every
     corpus ships: doc/token/char totals, mean classifier score, and the
@@ -2649,6 +2674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "ivfpq_topk": _q_ivfpq_topk,
         "dataset_card": _q_dataset_card,
+        "char_entropy": _q_char_entropy,
+        "pmi_pairs": _q_pmi_pairs,
+        "vocab_growth": _q_vocab_growth,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
         #    slice evicted this round to fit never-checked queries) --
         "cell_sort": _q_cell_sort,
@@ -2933,6 +2961,17 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "char_entropy": __import__(
+            "docling_plus_spark.operators.textstats",
+            fromlist=["char_entropy_sql"],
+        ).char_entropy_sql(),
+        "pmi_pairs": __import__(
+            "docling_plus_spark.operators.textstats", fromlist=["pmi_pairs_sql"]
+        ).pmi_pairs_sql(window=2, min_count=5, topk=20),
+        "vocab_growth": __import__(
+            "docling_plus_spark.operators.textstats",
+            fromlist=["vocab_growth_sql"],
+        ).vocab_growth_sql(n_points=10),
         "dataset_card": """
 WITH base AS (
   SELECT doc_id, lang,

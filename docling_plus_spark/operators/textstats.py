@@ -395,3 +395,255 @@ SELECT t.rank, t.term, t.exact_count::bigint AS exact_count,
 FROM top t JOIN probes p USING (term) JOIN counters c USING (row, col)
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-linguistics signals: per-document character entropy (gibberish /
+# encoding-noise detector — low entropy = repeated junk, very high =
+# random bytes), windowed PMI co-occurrence (collocation mining), and the
+# Heaps-law vocabulary growth curve (sublinear vocab growth is the
+# classic sanity check that a corpus is natural language, not templated
+# spam). All exact integer counting + one final log/ratio rounded to 6,
+# so the DuckDB twins match bit-for-bit.
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, entropy): Shannon entropy in bits over the
+    document's character distribution. Explode → (id, char) counts →
+    per-id entropy; the shuffle carries (id, char, count) triples."""
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("c"),
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy("id", "c").agg(F.count("*").alias("k"))
+    tot = counts.groupBy("id").agg(F.sum("k").alias("n"))
+    ent = (
+        counts.join(tot, "id")
+        .groupBy("id", "n")
+        .agg(
+            F.sum(
+                -(F.col("k") / F.col("n"))
+                * F.log2(F.col("k") / F.col("n"))
+            ).alias("h")
+        )
+    )
+    return ent.select(
+        "id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.round("h", 6).alias("entropy"),
+    )
+
+
+def char_entropy_sql(
+    id_expr: str = "doc_id", text_expr: str = "text", table: str = "documents"
+) -> str:
+    return f"""
+WITH ch AS (
+  SELECT {id_expr} AS id, c, count(*) AS k
+  FROM {table}, unnest(string_split({text_expr}, '')) AS u(c)
+  WHERE c <> '' GROUP BY 1, 2
+),
+tot AS (SELECT id, sum(k) AS n FROM ch GROUP BY 1)
+SELECT ch.id, max(tot.n)::bigint AS n_chars,
+       round(sum(-(ch.k::double / tot.n) * log2(ch.k::double / tot.n)), 6)
+         AS entropy
+FROM ch JOIN tot ON ch.id = tot.id
+GROUP BY ch.id
+"""
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k pointwise mutual information collocations: co-occurrence
+    within ``window`` following tokens, PMI = log2(c_xy·N / (c_x·c_y)).
+
+    Ordered pairs (x before y) so counting is single-pass; vocabulary-
+    keyed shuffles only (same scale shape as bpe_merge_pairs). Ties:
+    PMI desc, then (x, y) asc.
+    """
+    toks = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+        ).alias("ws")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ws"),
+                    lambda w, i: F.transform(
+                        F.slice(
+                            F.col("ws"),
+                            i + 2,
+                            F.least(
+                                F.lit(window),
+                                F.size(F.col("ws")) - i - 1,
+                            ),
+                        ),
+                        lambda v: F.struct(w.alias("x"), v.alias("y")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    cxy = pairs.groupBy("x", "y").agg(F.count("*").alias("cxy"))
+    n_pairs = pairs.count()
+    words = toks.select(F.explode("ws").alias("w"))
+    cw = words.groupBy("w").agg(F.count("*").alias("cw"))
+    n_words = words.count()
+    scored = (
+        cxy.filter(F.col("cxy") >= min_count)
+        .join(cw.select(F.col("w").alias("x"), F.col("cw").alias("cx")), "x")
+        .join(cw.select(F.col("w").alias("y"), F.col("cw").alias("cy")), "y")
+        .select(
+            "x",
+            "y",
+            F.col("cxy").cast("long").alias("cxy"),
+            F.round(
+                F.log2(
+                    (F.col("cxy").cast("double") / F.lit(float(n_pairs)))
+                    / (
+                        (F.col("cx").cast("double") / F.lit(float(n_words)))
+                        * (F.col("cy").cast("double") / F.lit(float(n_words)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("rank", "x", "y", "cxy", "pmi")
+    )
+
+
+def pmi_pairs_sql(
+    text_expr: str = "text",
+    table: str = "documents",
+    window: int = 2,
+    min_count: int = 5,
+    topk: int = 20,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT}'),
+                     t -> t <> '') AS ws
+  FROM {table}
+),
+pairs AS (
+  SELECT ws[i + 1] AS x, ws[i + 1 + d] AS y
+  FROM toks,
+       unnest(range(0, len(ws))) AS t(i),
+       unnest(range(1, {window} + 1)) AS u(d)
+  WHERE i + 1 + d <= len(ws)
+),
+cxy AS (SELECT x, y, count(*) AS cxy FROM pairs GROUP BY 1, 2),
+np AS (SELECT count(*)::double AS n FROM pairs),
+words AS (SELECT w FROM toks, unnest(ws) AS v(w)),
+cw AS (SELECT w, count(*) AS cw FROM words GROUP BY 1),
+nw AS (SELECT count(*)::double AS n FROM words),
+scored AS (
+  SELECT c.x, c.y, c.cxy::bigint AS cxy,
+         round(log2((c.cxy / (SELECT n FROM np))
+                    / ((a.cw / (SELECT n FROM nw))
+                       * (b.cw / (SELECT n FROM nw)))), 6) AS pmi
+  FROM cxy c JOIN cw a ON a.w = c.x JOIN cw b ON b.w = c.y
+  WHERE c.cxy >= {min_count}
+)
+SELECT rank, x, y, cxy, pmi FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, x, y) AS rank FROM scored
+) WHERE rank <= {topk}
+"""
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_points: int = 10,
+) -> DataFrame:
+    """Heaps-law curve: cumulative (tokens_seen, distinct_words) at
+    ``n_points`` id-ordered corpus prefixes.
+
+    Distributed form: a word's first occurrence is the min doc id that
+    contains it (one vocabulary-keyed shuffle); cumulative sums over the
+    per-doc (token_count, first_occurrences) table are a window over
+    doc ids — never a cross join of prefixes.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+        ).alias("ws"),
+    )
+    per_doc = toks.select("id", F.size("ws").alias("n_toks"))
+    first = (
+        toks.select("id", F.explode(F.array_distinct("ws")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("id").alias("fid"))
+        .groupBy(F.col("fid").alias("id"))
+        .agg(F.count("*").alias("new_words"))
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per_doc.join(first, "id", "left")
+        .select(
+            "id",
+            F.sum("n_toks").over(w).alias("tokens_seen"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(w).alias("vocab"),
+        )
+    )
+    n_docs = df.count()
+    step = max(n_docs // n_points, 1)
+    return (
+        cum.filter((F.col("id") + 1) % step == 0)
+        .select(
+            F.col("id").cast("long").alias("last_doc_id"),
+            F.col("tokens_seen").cast("long"),
+            F.col("vocab").cast("long"),
+        )
+    )
+
+
+def vocab_growth_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+    n_points: int = 10,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS id,
+         list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT}'),
+                     t -> t <> '') AS ws
+  FROM {table}
+),
+per_doc AS (SELECT id, len(ws) AS n_toks FROM toks),
+first AS (
+  SELECT fid AS id, count(*) AS new_words FROM (
+    SELECT w, min(id) AS fid
+    FROM (SELECT id, unnest(list_distinct(ws)) AS w FROM toks)
+    GROUP BY w) GROUP BY 1
+),
+cum AS (
+  SELECT p.id,
+         sum(p.n_toks) OVER (ORDER BY p.id
+             ROWS UNBOUNDED PRECEDING) AS tokens_seen,
+         sum(coalesce(f.new_words, 0)) OVER (ORDER BY p.id
+             ROWS UNBOUNDED PRECEDING) AS vocab
+  FROM per_doc p LEFT JOIN first f ON f.id = p.id
+),
+nn AS (SELECT greatest(count(*) // {n_points}, 1) AS step FROM {table})
+SELECT id::bigint AS last_doc_id, tokens_seen::bigint AS tokens_seen,
+       vocab::bigint AS vocab
+FROM cum WHERE (id + 1) % (SELECT step FROM nn) = 0
+"""

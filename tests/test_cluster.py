@@ -322,3 +322,45 @@ def test_countmin_overestimates_only(spark):
     assert out["beta"]["exact_count"] == 200
     for r in out.values():
         assert r["cms_estimate"] >= r["exact_count"]
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from docling_plus_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    out = {r["id"]: r["entropy"] for r in char_entropy(docs).collect()}
+    assert out[1] == 0.0
+    assert out[2] == pytest.approx(1.0, abs=1e-6)
+    assert out[3] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_pmi_known_collocation(spark):
+    from docling_plus_spark.operators.textstats import pmi_pairs
+
+    # 'hong kong' always together; filler words independent
+    docs = spark.createDataFrame(
+        [(i, "hong kong " + " ".join(f"w{(i * 5 + j) % 9}" for j in range(8)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = pmi_pairs(docs, "text", window=2, min_count=5, topk=5).collect()
+    assert out[0]["x"] == "hong" and out[0]["y"] == "kong"
+    assert out[0]["rank"] == 1 and out[0]["pmi"] > 2.0
+
+
+def test_vocab_growth_monotone_sublinear(spark):
+    from docling_plus_spark.operators.textstats import vocab_growth
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pts = sorted(map(tuple, vocab_growth(docs, n_points=5).collect()))
+    assert len(pts) >= 4
+    toks = [p[1] for p in pts]
+    voc = [p[2] for p in pts]
+    assert toks == sorted(toks) and voc == sorted(voc)  # monotone
+    assert all(v <= t for t, v in zip(toks, voc))
+    # Heaps: vocab grows slower than tokens over the corpus
+    assert voc[-1] / voc[0] < toks[-1] / toks[0] * 1.01

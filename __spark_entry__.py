@@ -679,6 +679,14 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per doc (vowel-group syllable heuristic,
+    exact integer counting; operators/quality.py:flesch_reading_ease)."""
+    from docling_plus_spark.operators.quality import flesch_reading_ease
+
+    return flesch_reading_ease(_docs(spark, sf_dir))
+
+
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon character entropy per doc (gibberish/encoding-noise
     signal; operators/textstats.py:char_entropy)."""
@@ -2675,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "dataset_card": _q_dataset_card,
         "char_entropy": _q_char_entropy,
+        "flesch": _q_flesch,
         "pmi_pairs": _q_pmi_pairs,
         "vocab_growth": _q_vocab_growth,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
@@ -2961,6 +2970,10 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "flesch": __import__(
+            "docling_plus_spark.operators.quality",
+            fromlist=["flesch_reading_ease_sql"],
+        ).flesch_reading_ease_sql(),
         "char_entropy": __import__(
             "docling_plus_spark.operators.textstats",
             fromlist=["char_entropy_sql"],

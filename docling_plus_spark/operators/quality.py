@@ -836,3 +836,89 @@ SELECT {id_expr} AS id,
        {main} AS main_script
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease (Flesch 1948; Kincaid's constants) — the classic
+# readability feature (WebText/GPT-2-era corpora filtered on it).
+# Syllables ≈ vowel-group runs (min 1/word), sentences ≈ [.!?]+ runs
+# (min 1) — the standard heuristics, all exact integer counts so the
+# twin matches bit-for-bit.
+
+
+def flesch_reading_ease(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_syllables, flesch): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), round 4."""
+    t = F.lower(F.col(text_col))
+    ws = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.element_at(
+            F.transform(
+                F.array(ws),
+                lambda toks: F.struct(
+                    F.size(toks).alias("n_words"),
+                    F.aggregate(
+                        F.transform(
+                            toks,
+                            lambda w: F.greatest(
+                                F.regexp_count(w, F.lit("[aeiouy]+")),
+                                F.lit(1),
+                            ),
+                        ),
+                        F.lit(0),
+                        lambda a, x: a + x,
+                    ).alias("n_syllables"),
+                ),
+            ),
+            1,
+        ).alias("s"),
+        F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)).alias(
+            "n_sentences"
+        ),
+    ).select(
+        "id",
+        F.col("s.n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("s.n_syllables").cast("long").alias("n_syllables"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables") / F.greatest(F.col("n_words"), F.lit(1))),
+        4,
+    )
+    return out.filter(F.col("n_words") > 0).withColumn("flesch", flesch)
+
+
+def flesch_reading_ease_sql(
+    id_expr: str = "doc_id", text_expr: str = "text", table: str = "documents"
+) -> str:
+    return rf"""
+WITH w AS (
+  SELECT {id_expr} AS id,
+         list_filter(string_split_regex(lower({text_expr}), '\s+'),
+                     x -> length(x) > 0) AS ws,
+         greatest(len(regexp_extract_all(lower({text_expr}), '[.!?]+')), 1)
+           AS n_sentences
+  FROM {table}
+),
+m AS (
+  SELECT id, len(ws) AS n_words, n_sentences,
+         list_aggregate(
+           list_transform(ws,
+             x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)),
+           'sum') AS n_syllables
+  FROM w
+)
+SELECT id, n_words::bigint AS n_words, n_sentences::bigint AS n_sentences,
+       n_syllables::bigint AS n_syllables,
+       round(206.835 - 1.015 * (n_words::double / n_sentences)
+             - 84.6 * (n_syllables::double / greatest(n_words, 1)), 4)
+         AS flesch
+FROM m WHERE n_words > 0
+"""

@@ -364,3 +364,19 @@ def test_vocab_growth_monotone_sublinear(spark):
     assert all(v <= t for t, v in zip(toks, voc))
     # Heaps: vocab grows slower than tokens over the corpus
     assert voc[-1] / voc[0] < toks[-1] / toks[0] * 1.01
+
+
+def test_flesch_known_document(spark):
+    from docling_plus_spark.operators.quality import flesch_reading_ease
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in flesch_reading_ease(docs).collect()}
+    assert 2 not in out  # empty doc filtered
+    r = out[1]
+    assert r["n_words"] == 6 and r["n_sentences"] == 2
+    assert r["n_syllables"] == 6  # all monosyllables
+    want = round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert r["flesch"] == pytest.approx(want, abs=1e-4)

@@ -679,6 +679,15 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stride_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride overlapping token windows — the training-example
+    cutter complementing sequence_pack (operators/packing.py:
+    stride_windows); window text identity proven via md5."""
+    from docling_plus_spark.operators.packing import stride_windows
+
+    return stride_windows(_docs(spark, sf_dir), length=32, stride=24)
+
+
 def _q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading ease per doc (vowel-group syllable heuristic,
     exact integer counting; operators/quality.py:flesch_reading_ease)."""
@@ -2684,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": _q_dataset_card,
         "char_entropy": _q_char_entropy,
         "flesch": _q_flesch,
+        "stride_windows": _q_stride_windows,
         "pmi_pairs": _q_pmi_pairs,
         "vocab_growth": _q_vocab_growth,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
@@ -2970,6 +2980,10 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "stride_windows": __import__(
+            "docling_plus_spark.operators.packing",
+            fromlist=["stride_windows_sql"],
+        ).stride_windows_sql(length=32, stride=24),
         "flesch": __import__(
             "docling_plus_spark.operators.quality",
             fromlist=["flesch_reading_ease_sql"],

@@ -137,3 +137,80 @@ SELECT window_id, id,
        greatest(0, off - window_id * {budget}) AS win_off
 FROM s
 """
+
+
+def stride_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-length overlapping token windows (the GPT-style training
+    example cutter; stride < length ⇒ overlap = length − stride keeps
+    context across window boundaries). Pure sequence/slice expressions;
+    one row per (doc, window), text identity proven by the md5.
+
+    Output: (id, win_idx, start_tok, n_toks, window_md5)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    wins = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil(
+                    (F.size(toks) - F.lit(length)).cast("double")
+                    / F.lit(stride)
+                ).cast("int"),
+                F.lit(0),
+            ),
+        ),
+        lambda i: F.struct(
+            i.cast("int").alias("win_idx"),
+            (i * stride).cast("long").alias("start_tok"),
+            F.slice(toks, i * stride + 1, length).alias("w"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n"),
+        F.explode(wins).alias("p"),
+    ).filter(F.col("p.start_tok") < F.col("n"))
+    return out.select(
+        "id",
+        F.col("p.win_idx").alias("win_idx"),
+        F.col("p.start_tok").alias("start_tok"),
+        F.size(F.col("p.w")).cast("long").alias("n_toks"),
+        F.md5(F.concat_ws(" ", F.col("p.w"))).alias("window_md5"),
+    )
+
+
+def stride_windows_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+    length: int = 64,
+    stride: int = 48,
+) -> str:
+    """DuckDB twin of :func:`stride_windows`."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_expr} AS id,
+         list_filter(string_split_regex(lower({text_expr}), '\s+'),
+                     t -> t <> '') AS ws
+  FROM {table}
+),
+wins AS (
+  SELECT id, i::int AS win_idx, (i * {stride})::bigint AS start_tok,
+         ws[i * {stride} + 1 : i * {stride} + {length}] AS w
+  FROM toks,
+       unnest(range(0, greatest(
+         ceil((len(ws) - {length})::double / {stride})::bigint, 0) + 1))
+         AS t(i)
+  WHERE i * {stride} < len(ws)
+)
+SELECT id, win_idx, start_tok, len(w)::bigint AS n_toks,
+       md5(array_to_string(w, ' ')) AS window_md5
+FROM wins
+"""

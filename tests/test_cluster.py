@@ -380,3 +380,30 @@ def test_flesch_known_document(spark):
     assert r["n_syllables"] == 6  # all monosyllables
     want = round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
     assert r["flesch"] == pytest.approx(want, abs=1e-4)
+
+
+def test_stride_windows_overlap_and_coverage(spark):
+    from docling_plus_spark.operators.packing import stride_windows
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = [r for r in stride_windows(docs, length=40, stride=30).collect()]
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    # doc1 (n=100, L=40, s=30): minimal full cover = starts 0,30,60
+    # (the 60-window reaches token 99; no redundant 4th window)
+    w1 = sorted(by_id[1], key=lambda r: r["win_idx"])
+    assert [r["start_tok"] for r in w1] == [0, 30, 60]
+    assert [r["n_toks"] for r in w1] == [40, 40, 40]
+    # overlap: every token index is covered at least once
+    covered = set()
+    for r in w1:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
+    assert covered == set(range(100))
+    # short doc: one truncated window; empty doc: none
+    assert [r["n_toks"] for r in by_id[2]] == [3]
+    assert 3 not in by_id

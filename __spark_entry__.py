@@ -679,6 +679,14 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty per doc (staleness/boilerplate proxy;
+    operators/textstats.py:ngram_novelty)."""
+    from docling_plus_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
 def _q_stride_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-stride overlapping token windows — the training-example
     cutter complementing sequence_pack (operators/packing.py:
@@ -2694,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "flesch": _q_flesch,
         "stride_windows": _q_stride_windows,
+        "ngram_novelty": _q_ngram_novelty,
         "pmi_pairs": _q_pmi_pairs,
         "vocab_growth": _q_vocab_growth,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
@@ -2980,6 +2989,10 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "ngram_novelty": __import__(
+            "docling_plus_spark.operators.textstats",
+            fromlist=["ngram_novelty_sql"],
+        ).ngram_novelty_sql(n=3),
         "stride_windows": __import__(
             "docling_plus_spark.operators.packing",
             fromlist=["stride_windows_sql"],

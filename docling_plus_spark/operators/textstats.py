@@ -647,3 +647,65 @@ SELECT id::bigint AS last_doc_id, tokens_seen::bigint AS tokens_seen,
        vocab::bigint AS vocab
 FROM cum WHERE (id + 1) % (SELECT step FROM nn) = 0
 """
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, novel_frac): fraction of a document's distinct
+    n-grams whose FIRST corpus occurrence (min doc id) is this document
+    — the corpus-order novelty curve (late documents full of already-
+    seen n-grams are near-duplicates or boilerplate; a training-data
+    staleness proxy). One vocabulary-keyed min-id shuffle, one join
+    back on the gram — same shape as vocab_growth."""
+    from docling_plus_spark.operators.dedup import shingles
+
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    first = g.groupBy("gram").agg(F.min("id").alias("fid"))
+    per = (
+        g.join(first, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("fid") == F.col("id"), 1).otherwise(0)).alias(
+                "novel"
+            ),
+        )
+    )
+    return per.select(
+        "id",
+        "n_grams",
+        F.round(
+            F.col("novel").cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("novel_frac"),
+    )
+
+
+def ngram_novelty_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+    n: int = 3,
+) -> str:
+    from docling_plus_spark.operators.dedup import shingles_sql
+
+    return f"""
+WITH g AS (
+  SELECT {id_expr} AS id, gram
+  FROM {table}, unnest({shingles_sql(text_expr, n)}) AS u(gram)
+),
+first AS (SELECT gram, min(id) AS fid FROM g GROUP BY 1)
+SELECT g.id, count(*)::bigint AS n_grams,
+       round(sum(CASE WHEN f.fid = g.id THEN 1 ELSE 0 END)::double
+             / greatest(count(*), 1), 6) AS novel_frac
+FROM g JOIN first f ON f.gram = g.gram
+GROUP BY g.id
+"""

@@ -407,3 +407,18 @@ def test_stride_windows_overlap_and_coverage(spark):
     # short doc: one truncated window; empty doc: none
     assert [r["n_toks"] for r in by_id[2]] == [3]
     assert 3 not in by_id
+
+
+def test_ngram_novelty_duplicate_doc_is_stale(spark):
+    from docling_plus_spark.operators.textstats import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+         (3, "totally fresh words never seen before")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1]["novel_frac"] == 1.0
+    assert out[2]["novel_frac"] == 0.0  # everything first-seen in doc 1
+    assert out[3]["novel_frac"] == 1.0

@@ -679,6 +679,44 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemaps.org protocol extraction (operators/robots.py:
+    sitemap_urls): per-doc synthetic sitemap XML with 1-3 <url> blocks
+    (alternating lastmod) and a nested <sitemap> index entry every 5th
+    doc; both engines build the identical XML string."""
+    from docling_plus_spark.operators.robots import sitemap_urls
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".test"))
+    urls = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int")),
+            lambda j: F.concat(
+                F.lit("<url> <loc> https://"), host,
+                F.lit("/p"), F.col("doc_id").cast("string"),
+                F.lit("-"), j.cast("string"), F.lit(" </loc>"),
+                F.when(
+                    j % 2 == 0,
+                    F.concat(
+                        F.lit("<lastmod>2024-01-0"), j.cast("string"),
+                        F.lit("</lastmod>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</url>"),
+            ),
+        ),
+    )
+    idx = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("<sitemap><loc>https://"), host,
+                 F.lit("/sitemap2.xml</loc></sitemap>")),
+    ).otherwise(F.lit(""))
+    xml = F.concat(F.lit("<urlset>"), urls, idx, F.lit("</urlset>"))
+    sm = d.select(host.alias("host"), xml.alias("sitemap_xml"))
+    return sitemap_urls(sm, "host", "sitemap_xml")
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-order n-gram novelty per doc (staleness/boilerplate proxy;
     operators/textstats.py:ngram_novelty)."""
@@ -2703,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch": _q_flesch,
         "stride_windows": _q_stride_windows,
         "ngram_novelty": _q_ngram_novelty,
+        "sitemap_extract": _q_sitemap_extract,
         "pmi_pairs": _q_pmi_pairs,
         "vocab_growth": _q_vocab_growth,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
@@ -2989,6 +3028,29 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "sitemap_extract": """
+WITH sm AS (
+  SELECT 'h' || (doc_id % 7)::varchar || '.test' AS host,
+         '<urlset>' || list_aggregate(
+           list_transform(range(1, doc_id % 3 + 2), j ->
+             '<url> <loc> https://h' || (doc_id % 7)::varchar
+             || '.test/p' || doc_id::varchar || '-' || j::varchar
+             || ' </loc>'
+             || CASE WHEN j % 2 = 0
+                  THEN '<lastmod>2024-01-0' || j::varchar || '</lastmod>'
+                  ELSE '' END
+             || '</url>'),
+           'string_agg', '')
+         || CASE WHEN doc_id % 5 = 0
+              THEN '<sitemap><loc>https://h' || (doc_id % 7)::varchar
+                   || '.test/sitemap2.xml</loc></sitemap>'
+              ELSE '' END
+         || '</urlset>' AS sitemap_xml
+  FROM documents
+)
+""" + __import__(
+            "docling_plus_spark.operators.robots", fromlist=["sitemap_urls_sql"]
+        ).sitemap_urls_sql("host", "sitemap_xml", "sm").lstrip(),
         "ngram_novelty": __import__(
             "docling_plus_spark.operators.textstats",
             fromlist=["ngram_novelty_sql"],

@@ -158,3 +158,89 @@ def robots_gate(
         .alias("allowed"),
         F.when(F.size(matched) > 0, best["path"]).alias("matched_rule"),
     )
+
+
+def sitemap_urls(
+    df: DataFrame,
+    id_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Extract <loc> / <lastmod> pairs from sitemap XML (sitemaps.org
+    protocol — the other half of crawl discovery next to robots.txt).
+
+    Pure regexp columns (a sitemap is flat enough that a conforming
+    <url> block regex is exact; no DOM build): one row per URL with its
+    optional lastmod, plus the per-host position. Nested sitemap
+    indexes (<sitemap><loc>) surface with kind='index' so the frontier
+    can recurse.
+    """
+    urlblocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1
+    )
+    idxblocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1
+    )
+
+    def emit(blocks, kind):
+        return F.transform(
+            blocks,
+            lambda b, i: F.struct(
+                F.lit(kind).alias("kind"),
+                i.cast("int").alias("pos"),
+                F.trim(
+                    F.regexp_extract(b, r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+                ).alias("loc"),
+                F.nullif(
+                    F.trim(
+                        F.regexp_extract(
+                            b, r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+                        )
+                    ),
+                    F.lit(""),
+                ).alias("lastmod"),
+            ),
+        )
+
+    out = df.select(
+        F.col(id_col).alias("host"),
+        F.explode(
+            F.concat(emit(urlblocks, "url"), emit(idxblocks, "index"))
+        ).alias("e"),
+    )
+    return out.select(
+        "host",
+        F.col("e.kind").alias("kind"),
+        F.col("e.pos").alias("pos"),
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+    ).filter(F.col("loc") != "")
+
+
+def sitemap_urls_sql(
+    id_expr: str,
+    xml_expr: str,
+    table: str,
+) -> str:
+    """DuckDB twin of :func:`sitemap_urls`."""
+    def emit(tag: str, kind: str) -> str:
+        return f"""
+  SELECT host, '{kind}' AS kind, (i - 1)::int AS pos,
+         trim(regexp_extract(bs[i], '(?s)<loc>\\s*(.*?)\\s*</loc>', 1))
+           AS loc,
+         nullif(trim(regexp_extract(
+             bs[i], '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)), '')
+           AS lastmod
+  FROM (
+    SELECT {id_expr} AS host,
+           regexp_extract_all({xml_expr}, '(?s)<{tag}>(.*?)</{tag}>', 1)
+             AS bs
+    FROM {table}
+  ), unnest(range(1, len(bs) + 1)) AS t(i)"""
+
+    return f"""
+SELECT host, kind, pos, loc, lastmod FROM (
+{emit("url", "url")}
+  UNION ALL
+{emit("sitemap", "index")}
+) WHERE loc <> ''
+"""

@@ -422,3 +422,22 @@ def test_ngram_novelty_duplicate_doc_is_stale(spark):
     assert out[1]["novel_frac"] == 1.0
     assert out[2]["novel_frac"] == 0.0  # everything first-seen in doc 1
     assert out[3]["novel_frac"] == 1.0
+
+
+def test_sitemap_urls_kinds_and_lastmod(spark):
+    from docling_plus_spark.operators.robots import sitemap_urls
+
+    xml = ("<urlset><url><loc> https://h.test/a </loc>"
+           "<lastmod>2024-02-01</lastmod></url>"
+           "<url><loc>https://h.test/b</loc></url>"
+           "<sitemap><loc>https://h.test/more.xml</loc></sitemap></urlset>")
+    df = spark.createDataFrame([("h.test", xml)], "host string, sitemap_xml string")
+    out = sorted(
+        (r["kind"], r["pos"], r["loc"], r["lastmod"])
+        for r in sitemap_urls(df).collect()
+    )
+    assert out == [
+        ("index", 0, "https://h.test/more.xml", None),
+        ("url", 0, "https://h.test/a", "2024-02-01"),
+        ("url", 1, "https://h.test/b", None),
+    ]

@@ -679,6 +679,30 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directive discovery from robots.txt (RFC 9309 §2.3,
+    case-insensitive, group-independent; operators/robots.py:
+    robots_sitemaps) over synthetic per-host robots files."""
+    from docling_plus_spark.operators.robots import robots_sitemaps
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 4 == 0)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".test"))
+    nl = F.lit("\n")
+    robots = F.concat(
+        F.lit("User-agent: *"), nl,
+        F.lit("Disallow: /private"), nl,
+        F.lit("Sitemap: https://"), host, F.lit("/s"),
+        F.col("doc_id").cast("string"), F.lit(".xml"), nl,
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.concat(F.lit("  sitemap: https://"), host, F.lit("/extra.xml")),
+        ).otherwise(F.lit("Allow: /")),
+    )
+    return robots_sitemaps(
+        d.select(host.alias("host"), robots.alias("robots_txt"))
+    )
+
+
 def _q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sitemaps.org protocol extraction (operators/robots.py:
     sitemap_urls): per-doc synthetic sitemap XML with 1-3 <url> blocks
@@ -2742,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stride_windows": _q_stride_windows,
         "ngram_novelty": _q_ngram_novelty,
         "sitemap_extract": _q_sitemap_extract,
+        "robots_sitemaps": _q_robots_sitemaps,
         "pmi_pairs": _q_pmi_pairs,
         "vocab_growth": _q_vocab_growth,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
@@ -3028,6 +3053,22 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "robots_sitemaps": """
+WITH r AS (
+  SELECT 'h' || (doc_id % 7)::varchar || '.test' AS host,
+         'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+         || 'Sitemap: https://h' || (doc_id % 7)::varchar || '.test/s'
+         || doc_id::varchar || '.xml' || chr(10)
+         || CASE WHEN doc_id % 8 = 0
+              THEN '  sitemap: https://h' || (doc_id % 7)::varchar
+                   || '.test/extra.xml'
+              ELSE 'Allow: /' END AS robots_txt
+  FROM documents WHERE doc_id % 4 = 0
+)
+""" + __import__(
+            "docling_plus_spark.operators.robots",
+            fromlist=["robots_sitemaps_sql"],
+        ).robots_sitemaps_sql("host", "robots_txt", "r").lstrip(),
         "sitemap_extract": """
 WITH sm AS (
   SELECT 'h' || (doc_id % 7)::varchar || '.test' AS host,

@@ -244,3 +244,37 @@ SELECT host, kind, pos, loc, lastmod FROM (
 {emit("sitemap", "index")}
 ) WHERE loc <> ''
 """
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt (RFC 9309 §2.3 — the
+    directive lives outside groups and is case-insensitive): one row
+    per (host, pos, sitemap_url). This is how a crawler discovers the
+    sitemap set that :func:`sitemap_urls` then expands."""
+    locs = F.regexp_extract_all(
+        F.col(robots_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"),
+        1,
+    )
+    out = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(locs).alias("pos", "sitemap_url"),
+    )
+    return out.select("host", F.col("pos").cast("int"), "sitemap_url")
+
+
+def robots_sitemaps_sql(host_expr: str, robots_expr: str, table: str) -> str:
+    """DuckDB twin of :func:`robots_sitemaps`."""
+    return rf"""
+SELECT host, (i - 1)::int AS pos, ls[i] AS sitemap_url
+FROM (
+  SELECT {host_expr} AS host,
+         regexp_extract_all({robots_expr},
+           '(?m)^[ \t]*(?i:sitemap)[ \t]*:[ \t]*(\S+)[ \t]*$', 1) AS ls
+  FROM {table}
+), unnest(range(1, len(ls) + 1)) AS t(i)
+"""

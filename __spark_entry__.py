@@ -679,6 +679,29 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality rate with its Wilson-score lower bound — the
+    statistically honest domain-filter ranking (a 2/2 host must not
+    outrank a 95/100 host; operators/webclean.py:host_quality_wilson).
+    Quality verdict = the hash classifier's label."""
+    from docling_plus_spark.operators.quality import hash_classifier
+    from docling_plus_spark.operators.webclean import host_quality_wilson
+
+    d = _docs(spark, sf_dir)
+    labeled = d.join(
+        hash_classifier(d, "doc_id", "text").select(
+            F.col("id").alias("doc_id"), "label"
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.col("label").alias("quality_pass"),
+    )
+    return host_quality_wilson(labeled)
+
+
 def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap: directive discovery from robots.txt (RFC 9309 §2.3,
     case-insensitive, group-independent; operators/robots.py:
@@ -2767,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "sitemap_extract": _q_sitemap_extract,
         "robots_sitemaps": _q_robots_sitemaps,
+        "host_quality": _q_host_quality,
         "pmi_pairs": _q_pmi_pairs,
         "vocab_growth": _q_vocab_growth,
         # -- beyond the 50-window (double-green r1+r2, plus the r1-green
@@ -3053,6 +3077,25 @@ FROM events l ASOF LEFT JOIN r
 """,
         "jaccard_pairs": _jaccard_oracle(),
         "containment_pairs": _containment_oracle(),
+        "host_quality": """
+WITH scores AS ({hc}),
+labeled AS (
+  SELECT d.doc_id,
+         'h' || (d.doc_id % 11)::varchar || '.test' AS host,
+         s.label AS quality_pass
+  FROM documents d JOIN scores s ON d.doc_id = s.id
+)
+""".format(hc=__import__(
+            "docling_plus_spark.operators.quality",
+            fromlist=["hash_classifier_sql"],
+        ).hash_classifier_sql("doc_id", "text", "documents"))
+        + ", "
+        + __import__(
+            "docling_plus_spark.operators.webclean",
+            fromlist=["host_quality_wilson_sql"],
+        ).host_quality_wilson_sql(
+            "doc_id", "host", "quality_pass", "labeled"
+        ).lstrip().removeprefix("WITH "),
         "robots_sitemaps": """
 WITH r AS (
   SELECT 'h' || (doc_id % 7)::varchar || '.test' AS host,

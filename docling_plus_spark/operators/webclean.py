@@ -759,3 +759,68 @@ SELECT m.url, m.host,
        (bl.host IS NULL AND m.kw_hits < {max_hits}) AS allowed
 FROM m LEFT JOIN bl ON m.host = bl.host
 """
+
+
+def host_quality_wilson(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    pass_col: str = "quality_pass",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-host quality rate with its Wilson-score lower bound — the
+    statistically honest way to rank/blocklist domains (a 2/2 host must
+    not outrank a 95/100 host; the lower bound handles small n).
+
+    wilson_low = (p + z²/2n − z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n).
+    Exact integer counts → one closed-form float per host, round 6 —
+    bit-stable across engines. One host-keyed count shuffle.
+    """
+    agg = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col(pass_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_pass").cast("double") / n
+    z2 = z * z
+    low = (
+        p
+        + F.lit(z2) / (2 * n)
+        - F.lit(z) * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n))
+    ) / (1 + F.lit(z2) / n)
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_pass",
+        F.round(p, 6).alias("pass_rate"),
+        F.round(low, 6).alias("wilson_low"),
+    )
+
+
+def host_quality_wilson_sql(
+    id_expr: str,
+    host_expr: str,
+    pass_expr: str,
+    table: str,
+    z: float = 1.96,
+) -> str:
+    """DuckDB twin of :func:`host_quality_wilson` (same operation
+    order)."""
+    z2 = z * z
+    return f"""
+WITH agg AS (
+  SELECT {host_expr} AS host, count(*)::bigint AS n_docs,
+         sum(CASE WHEN {pass_expr} THEN 1 ELSE 0 END)::bigint AS n_pass
+  FROM {table} GROUP BY 1
+)
+SELECT host, n_docs, n_pass,
+       round(n_pass::double / n_docs, 6) AS pass_rate,
+       round((n_pass::double / n_docs + {z2} / (2 * n_docs::double)
+              - {z} * sqrt((n_pass::double / n_docs)
+                           * (1 - n_pass::double / n_docs) / n_docs::double
+                           + {z2} / (4 * n_docs::double * n_docs::double)))
+             / (1 + {z2} / n_docs::double), 6) AS wilson_low
+FROM agg
+"""

@@ -441,3 +441,19 @@ def test_sitemap_urls_kinds_and_lastmod(spark):
         ("url", 0, "https://h.test/a", "2024-02-01"),
         ("url", 1, "https://h.test/b", None),
     ]
+
+
+def test_wilson_small_n_ranks_below_large_n(spark):
+    from docling_plus_spark.operators.webclean import host_quality_wilson
+
+    rows = (
+        [(i, "big.test", True) for i in range(95)]
+        + [(i + 100, "big.test", False) for i in range(5)]
+        + [(200, "tiny.test", True), (201, "tiny.test", True)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, host string, quality_pass boolean")
+    out = {r["host"]: r for r in host_quality_wilson(df).collect()}
+    assert out["tiny.test"]["pass_rate"] == 1.0
+    assert out["big.test"]["pass_rate"] == 0.95
+    # the statistically honest ranking: 95/100 beats 2/2
+    assert out["big.test"]["wilson_low"] > out["tiny.test"]["wilson_low"]

@@ -150,13 +150,26 @@ def main() -> None:
     extract_sec = (
         timings["extract_fixture_corpus"] + timings["extract_synth_docs"]
     )
+    # Full per-query dict first (for humans / BENCH.md), then a compact
+    # summary line LAST: the driver tail-captures stdout and a 127-entry
+    # dict overflowed its buffer in round 3 (BENCH_r03.json parsed:null).
+    # The final line must stay small enough to always parse.
+    print(
+        json.dumps(
+            {
+                "metric": "per-query wall times (detail line; summary follows)",
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+            }
+        )
+    )
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "extraction+operator suite wall time (headline: docs/sec over replicated reference-HTML corpus + synth corpus)",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
                 "cpus": cpus,
                 "extract_docs": extract_docs,

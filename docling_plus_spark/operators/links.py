@@ -402,6 +402,13 @@ def _hits_loop(
             ),
             "hub",
         ).localCheckpoint(eager=True)
-    return nodes.join(hub, "node").join(auth, "node").select(
-        "node", "hub", "authority"
+    # Checkpoint the final join INSIDE the guarded scope: the caller's
+    # finally-block restores constraintPropagation before the returned
+    # plan would otherwise execute, so without this eager cut the last
+    # assign/join would be optimized with the conf back on (ADVICE r3).
+    return (
+        nodes.join(hub, "node")
+        .join(auth, "node")
+        .select("node", "hub", "authority")
+        .localCheckpoint(eager=True)
     )

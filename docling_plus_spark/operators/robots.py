@@ -55,8 +55,11 @@ def robots_rules(
     whose robots.txt has no ``*`` group (or no rules) get an empty
     array — evaluated as allow-everything by :func:`robots_gate`.
     """
-    # strip comments per line, drop blank lines
-    raw = F.split(F.col(body_col), "\n")
+    # RFC 9309 §2.2 allows CR, CR/LF, and LF line endings: normalize
+    # CR[LF] to LF first (Spark trim() strips spaces only, so a
+    # surviving \r would otherwise poison rule paths), then strip
+    # comments per line and drop blank lines.
+    raw = F.split(F.regexp_replace(F.col(body_col), "\r\n?", "\n"), "\n")
     lines = F.filter(
         F.transform(raw, lambda l: F.trim(F.regexp_replace(l, "#.*$", ""))),
         lambda l: l != "",
@@ -255,8 +258,11 @@ def robots_sitemaps(
     directive lives outside groups and is case-insensitive): one row
     per (host, pos, sitemap_url). This is how a crawler discovers the
     sitemap set that :func:`sitemap_urls` then expands."""
+    # Strip \r first (RFC 9309 allows CR / CRLF / LF): Java multiline $
+    # matches before \r\n but RE2's only before \n, so anchoring over
+    # raw CRLF text would make the Spark and DuckDB twins diverge.
     locs = F.regexp_extract_all(
-        F.col(robots_col),
+        F.regexp_replace(F.col(robots_col), "\r", ""),
         F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"),
         1,
     )
@@ -273,7 +279,7 @@ def robots_sitemaps_sql(host_expr: str, robots_expr: str, table: str) -> str:
 SELECT host, (i - 1)::int AS pos, ls[i] AS sitemap_url
 FROM (
   SELECT {host_expr} AS host,
-         regexp_extract_all({robots_expr},
+         regexp_extract_all(regexp_replace({robots_expr}, '\r', '', 'g'),
            '(?m)^[ \t]*(?i:sitemap)[ \t]*:[ \t]*(\S+)[ \t]*$', 1) AS ls
   FROM {table}
 ), unnest(range(1, len(ls) + 1)) AS t(i)

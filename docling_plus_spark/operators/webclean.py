@@ -584,7 +584,7 @@ pairs AS (
   WHERE len(chars) >= 2
 ),
 counts AS (
-  SELECT l AS "left", r AS "right", sum(freq) AS pair_count
+  SELECT l AS "left", r AS "right", sum(freq)::bigint AS pair_count
   FROM pairs GROUP BY l, r
 )
 SELECT rank, "left", "right", pair_count FROM (

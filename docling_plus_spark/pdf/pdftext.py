@@ -551,6 +551,16 @@ def _merge_vertical_stacks(cells: list[dict]) -> list[dict]:
     used = [False] * len(cells)
     chains: list[list[int]] = []
     order = sorted(short, key=lambda i: (cells[i]["l"], cells[i]["t"]))
+    # Candidates sorted by (t, l) with a parallel t-array: each chain
+    # extension bisects to the gap window's start and stops at its end,
+    # so the pass stays near-linear on glyph-dense numeric pages
+    # (ADVICE r3: the full rescan per extension was O(|short|^2)).
+    # (t, l) ordering reproduces the old scan's tie-break exactly: the
+    # minimal-t candidate wins, and among equal t the smallest l.
+    from bisect import bisect_left
+
+    by_t = sorted(short, key=lambda i: (cells[i]["t"], cells[i]["l"]))
+    t_vals = [cells[i]["t"] for i in by_t]
     for ii in order:
         if used[ii]:
             continue
@@ -560,7 +570,12 @@ def _merge_vertical_stacks(cells: list[dict]) -> list[dict]:
         while True:
             h = cur["b"] - cur["t"]
             best = None
-            for jj in order:
+            lo = bisect_left(t_vals, cur["b"] - 1.0)
+            hi_t = cur["b"] + 0.6 * h
+            for k in range(lo, len(by_t)):
+                if t_vals[k] > hi_t:
+                    break
+                jj = by_t[k]
                 if used[jj]:
                     continue
                 d = cells[jj]
@@ -570,11 +585,8 @@ def _merge_vertical_stacks(cells: list[dict]) -> list[dict]:
                     cur["r"] - cur["l"], d["r"] - d["l"]
                 ):
                     continue
-                gap = d["t"] - cur["b"]
-                if -1.0 <= gap <= 0.6 * h and (
-                    best is None or d["t"] < cells[best]["t"]
-                ):
-                    best = jj
+                best = jj
+                break
             if best is None:
                 break
             chain.append(best)

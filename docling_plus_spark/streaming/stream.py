@@ -181,7 +181,11 @@ def session_event_counts(
     batch lag/cumsum sessionize query.
 
     Semantics (full timestamp precision): an event extends its user's
-    open session iff it arrives strictly inside ``last_event + gap``;
+    open session iff it arrives at or before ``last_event + gap`` — the
+    boundary is INCLUSIVE (an event exactly at ``last_event + gap``
+    merges), matching Spark's session_window merge rule, the batch
+    oracle's ``diff > 1800`` new-session predicate, and
+    test_session_window_gap_boundary_semantics;
     ``session_end = last_event + gap``. State is per (user, open
     session) and is dropped when the watermark passes the session end —
     bounded exactly like the tumbling-window agg in

@@ -168,8 +168,10 @@ code here
 
 def test_asciidoc_structure_fixture_01():
     # The reference's committed asciidoc goldens are stale (generated by
-    # older parser/serializer revisions and mutually inconsistent), so
-    # assert the structure the *current* reference parser produces.
+    # older parser/serializer revisions and mutually inconsistent —
+    # proven from the reference's own files in
+    # test_asciidoc_goldens_are_stale_proof below), so assert the
+    # structure the *current* reference parser produces.
     from docling_plus_spark.formats import convert_asciidoc
 
     data = Path("/root/reference/docling/tests/data/asciidoc/test_01.asciidoc")
@@ -209,6 +211,53 @@ def test_asciidoc_nested_lists_and_captions():
     assert doc.resolve(cap_ref).text == "An example caption for the image"
     # captioned tables
     assert doc.resolve(doc.tables[1].captions[0]).text == "Caption for the table 1"
+
+
+def test_asciidoc_goldens_are_stale_proof():
+    """In-band proof that the reference's committed `.asciidoc.md`
+    goldens CANNOT be the current reference parser's output — the
+    reason this format asserts structure, not byte-parity (every other
+    format earned byte-parity or carries a proof like this one).
+
+    Evidence, entirely from the reference's own files:
+    1. `backend/asciidoc_backend.py` `_parse_title` is
+       `line[2:].strip()` — no code path edits the title text. The
+       fixture's first line is `= 1st Sample Document Title`, so the
+       current parser must emit "1st Sample Document Title"; the golden
+       has "Sample Document Title" (the "1st " is gone).
+    2. `_parse_list_item` strips the marker from the text (the marker
+       is captured separately, `match.group(2)`), yet the golden
+       renders "- * First list item" — marker duplicated INSIDE the
+       text, an artifact of an older serializer.
+    3. The fixture's abstract paragraph "This is an abstract." is
+       absent from the golden entirely, while `_parse` has no
+       drop-paragraph path.
+    """
+    backend_src = Path(
+        "/root/reference/docling/docling/backend/asciidoc_backend.py"
+    ).read_text()
+    fixture = Path(
+        "/root/reference/docling/tests/data/asciidoc/test_01.asciidoc"
+    ).read_text()
+    gold = Path(GOLD_DIR / "test_01.asciidoc.md").read_text()
+
+    # (1) current title semantics vs golden title
+    assert 'return {"type": "title", "text": line[2:].strip(), "level": 0}' in (
+        backend_src
+    ), "reference _parse_title changed — re-evaluate golden staleness"
+    first_line = fixture.splitlines()[0]
+    assert first_line.startswith("= ")
+    current_title = first_line[2:].strip()
+    assert current_title == "1st Sample Document Title"
+    assert f"# {current_title}" not in gold
+    assert "# Sample Document Title" in gold  # what the stale golden has
+
+    # (2) marker duplicated inside golden list-item text
+    assert "- * First list item" in gold
+
+    # (3) abstract paragraph present in fixture, absent from golden
+    assert "This is an abstract." in fixture
+    assert "This is an abstract." not in gold
 
 
 DOCX_DIR = Path("/root/reference/docling/tests/data/docx")

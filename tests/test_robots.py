@@ -134,3 +134,57 @@ def test_hostile_robots_bodies_never_raise(spark):
         [(f"https://h{i}.test/p",) for i in range(len(bodies))], "url string"
     )
     assert robots_gate(pages, rules).count() == len(bodies)
+
+
+def test_crlf_line_endings_rfc9309(spark):
+    """RFC 9309 §2.2: lines may end CR, CR/LF, or LF. A surviving \\r
+    must not poison rule paths (Spark trim() strips spaces only)."""
+    body = "User-agent: *\r\nDisallow: /private/\r\nAllow: /private/ok/\r\n"
+    assert _rules(spark, body) == [
+        (False, "/private/"),
+        (True, "/private/ok/"),
+    ]
+    out = _gate(spark, body, ["/private/x", "/private/ok/y", "/pub"])
+    assert out["/private/x"][0] is False
+    assert out["/private/ok/y"][0] is True
+    assert out["/pub"][0] is True
+    # bare-CR endings (RFC allows CR alone)
+    assert _rules(spark, "User-agent: *\rDisallow: /a\r") == [(False, "/a")]
+
+
+def test_robots_sitemaps_crlf_twin_parity(spark):
+    """Sitemap: discovery over CRLF robots.txt — Java multiline $
+    matches before \\r\\n but RE2's only before \\n; both twins must
+    extract the URL (ADVICE r3, verified divergence pre-fix)."""
+    import duckdb
+
+    from docling_plus_spark.operators.robots import (
+        robots_sitemaps,
+        robots_sitemaps_sql,
+    )
+
+    body = (
+        "User-agent: *\r\nDisallow: /x\r\n"
+        "Sitemap: https://h.test/sm1.xml\r\n"
+        "sitemap: https://h.test/sm2.xml\r\n"
+    )
+    df = spark.createDataFrame(
+        [("h.test", body)], "host string, robots_txt string"
+    )
+    got = [
+        (r.host, r.pos, r.sitemap_url)
+        for r in robots_sitemaps(df).orderBy("pos").collect()
+    ]
+    assert got == [
+        ("h.test", 0, "https://h.test/sm1.xml"),
+        ("h.test", 1, "https://h.test/sm2.xml"),
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE r AS SELECT 'h.test' AS host, ? AS robots_txt", [body]
+    )
+    oracle = con.execute(
+        robots_sitemaps_sql("host", "robots_txt", "r")
+    ).fetchall()
+    assert sorted(oracle) == sorted(got)

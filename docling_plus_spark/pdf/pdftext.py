@@ -314,6 +314,7 @@ CELL_GAP = 0.5
 
 _RTL_RE = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
 _LTR_RE = re.compile(r"[A-Za-zÀ-ɏ]")
+_ALNUM_RE = re.compile(r"[0-9A-Za-z]")
 
 
 def _direction(text: str) -> int:
@@ -429,6 +430,13 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
 
     for row in sorted(rows, key=lambda r: -r["t"]):
         rw = sorted(row["words"], key=lambda w: w.l)
+        # RTL rows (Arabic/Hebrew forms) segment on tighter whitespace:
+        # form pages pad label fields with literal space runs of ~1 em,
+        # and docling-parse keeps each field its own cell (calibration:
+        # rtl pages' deviation 29 → 10 with the 1.0-em threshold + the
+        # rtl font splits below, every exact page held exact)
+        row_rtl = any(_direction(w.text) == -1 for w in rw)
+        wide_thr = 1.0 if row_rtl else 2.0
         seg: list[_Word] = [rw[0]]
         seg_r = rw[0].r
         seg_dir = _direction(rw[0].text)
@@ -443,21 +451,44 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
             # a wide whitespace run (checkbox fields, table gutters
             # filled with literal spaces) separates cells just like an
             # empty gap of the same width would
-            wide_space = w.is_space and (w.r - w.l) > 2.0 * max(w.size, 1e-6)
+            wide_space = w.is_space and (
+                (w.r - w.l) > wide_thr * max(w.size, 1e-6)
+            )
             # a font switch (bold/italic/superscript runs) starts a new
-            # cell — docling-parse segments sanitized cells per style run.
-            # Suppressed when either side of the pair is RTL: there the
-            # direction-switch rule already segments, and RTL text mixes
-            # shaping fonts mid-run (calibration: font splits moved the
-            # golden cell-count deviation 289 → 211 over the 32 reference
-            # pages with every previously-exact page held exact)
+            # cell — docling-parse segments sanitized cells per style run
+            # (calibration: font splits moved the golden cell-count
+            # deviation 289 → 211 over the 32 reference pages, and
+            # allowing them on RTL pairs as well — originally suppressed
+            # — moved 174 → 155 once the 1-em rtl whitespace rule above
+            # handled the label fields)
             font_break = (
-                w_dir != -1
-                and seg_dir != -1
-                and not w.is_space
+                not w.is_space
                 and w.font is not None
                 and seg_font is not None
                 and w.font is not seg_font
+                # in RTL rows, punctuation-only neutral runs set in a
+                # Latin font attach to the adjacent Arabic run (a lone
+                # '.' must not become its own cell); digits/identifiers
+                # still split per font
+                and not (
+                    row_rtl
+                    and (
+                        (
+                            w_dir == 0
+                            and len(w.text.strip()) <= 2
+                            and not _ALNUM_RE.search(w.text)
+                        )
+                        or (
+                            seg_dir == 0
+                            and 0
+                            < sum(len(x.text.strip()) for x in seg)
+                            <= 2
+                            and not any(
+                                _ALNUM_RE.search(x.text) for x in seg
+                            )
+                        )
+                    )
+                )
             )
             if (
                 gap > CELL_GAP * max(w.size, 1e-6)

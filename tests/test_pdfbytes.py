@@ -30,6 +30,7 @@ ALL_PDFS = sorted(glob.glob(os.path.join(PDF_DIR, "*.pdf")))
 EXACT = {
     ("multi_page", 4): 7,
     ("right_to_left_01", 0): 46,
+    ("right_to_left_02", 0): 34,
     ("redp5110_sampled", 1): 52,
     ("redp5110_sampled", 5): 49,
     ("redp5110_sampled", 6): 25,
@@ -77,10 +78,12 @@ def test_cell_count_parity_budget():
             total_gt += g
             if (name, i) in EXACT:
                 assert ours == EXACT[(name, i)] == g, (name, i, ours, g)
-    # calibration state: 174/1609 ≈ 11% aggregate deviation (font-change
-    # cell splits with the RTL pair guard: 289 → 211; vertical-stack
-    # rejoin of rotated header glyphs: → 174)
-    assert total_err <= 195, f"cell-count deviation grew: {total_err}"
+    # calibration state: 151/1623 ≈ 9.3% aggregate deviation (font-change
+    # cell splits: 289 → 211; vertical-stack rejoin of rotated header
+    # glyphs: → 174; RTL rows — 1-em whitespace field splits + font
+    # splits allowed across RTL pairs except punctuation-only neutral
+    # runs: → 151, rtl pages 29 → 6)
+    assert total_err <= 165, f"cell-count deviation grew: {total_err}"
 
 
 def test_text_content_spot_checks():

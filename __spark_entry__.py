@@ -2668,6 +2668,102 @@ FROM p
 """
 
 
+# -- round-4: boilerplate classification / shard manifest / recrawl ------
+
+#: deterministic per-doc html page: nav links, a stopword-rich lead
+#: paragraph, the doc's own (word-salad) text, a short block, footer
+#: links — hits every jusText label class. Spark and DuckDB build the
+#: SAME string (both engines' || / concat on identical operands).
+_BP_HTML_SPARK = (
+    "concat('<div><a href=\"/a\">home page</a> "
+    "<a href=\"/b\">about the site</a></div>',"
+    "'<p>the data for doc ', cast(doc_id as string), "
+    "' is in the table and it was good for the work of the team over "
+    "time with all of the new parts</p>',"
+    "'<p>', substr(text, 1, 100), '</p>',"
+    "'<p>ok</p>',"
+    "'<div><a href=\"/c\">terms</a> "
+    "<a href=\"/d\">privacy policy notice</a></div>')"
+)
+_BP_HTML_SQL = (
+    "('<div><a href=\"/a\">home page</a> "
+    "<a href=\"/b\">about the site</a></div>'"
+    " || '<p>the data for doc ' || doc_id::varchar || "
+    "' is in the table and it was good for the work of the team over "
+    "time with all of the new parts</p>'"
+    " || '<p>' || substr(text, 1, 100) || '</p>'"
+    " || '<p>ok</p>'"
+    " || '<div><a href=\"/c\">terms</a> "
+    "<a href=\"/d\">privacy policy notice</a></div>')"
+)
+
+
+def _q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style block classification (operators/boilerplate.py) —
+    per-block stopword/link densities + the two-pass context labels,
+    over deterministic synthetic pages. The statistical complement of
+    the DOM path's furniture split (reference html_backend.py)."""
+    from docling_plus_spark.operators.boilerplate import boilerplate_blocks
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_BP_HTML_SPARK).alias("html")
+    )
+    return boilerplate_blocks(d)
+
+
+def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction via the jusText labels: good blocks
+    joined in order per document (operators/boilerplate.py:
+    main_content)."""
+    from docling_plus_spark.operators.boilerplate import main_content
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_BP_HTML_SPARK).alias("html")
+    )
+    return main_content(d)
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment (operators/packing.py:
+    shard_manifest): two-phase distributed byte prefix sum, documents
+    atomic, shards ~64 KiB at this sf."""
+    from docling_plus_spark.operators.packing import shard_manifest
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").alias("n_bytes")
+    )
+    return shard_manifest(d, target_bytes=65536, nbytes_col="n_bytes")
+
+
+def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recrawl planning (operators/robots.py:
+    recrawl_schedule): crawl index ⋈ sitemap lastmod → the
+    new/refetch/fresh/unlisted action per url. Synth: doc_id%4==3
+    never crawled, %4==1 dropped from the sitemap."""
+    from docling_plus_spark.operators.robots import recrawl_schedule
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    crawled = d.where(F.col("doc_id") % 4 != 3).select(
+        url.alias("url"),
+        (F.lit(1700000000) + (F.col("doc_id") * 37) % 86400).alias(
+            "fetched_ts"
+        ),
+    )
+    sitemap = d.where(F.col("doc_id") % 4 != 1).select(
+        url.alias("loc"),
+        (F.lit(1700000000) + (F.col("doc_id") * 53) % 100000).alias(
+            "lastmod_ts"
+        ),
+    )
+    return recrawl_schedule(crawled, sitemap)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over synth web_pages from sf0.001 documents."""
     pages = synth_pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -2703,7 +2799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": _q_sitemap_extract,
         "stride_windows": _q_stride_windows,
         "vocab_growth": _q_vocab_growth,
-        # -- (3) new round-4 operators are inserted here as built --
+        # -- (3) new round-4 operators --
+        "boilerplate_blocks": _q_boilerplate_blocks,
+        "main_content_extract": _q_main_content,
+        "shard_manifest": _q_shard_manifest,
+        "recrawl_schedule": _q_recrawl_schedule,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -3696,7 +3796,53 @@ WITH {_MEDIA_CTE}
 SELECT media_id, unnest(range(0, (octet_length(media) // 1024)::int + 1, 10))::int AS frame_idx
 FROM media
 """,
+        "boilerplate_blocks": _boilerplate_blocks_oracle(),
+        "main_content_extract": _main_content_oracle(),
+        "shard_manifest": _shard_manifest_oracle(),
+        "recrawl_schedule": _recrawl_schedule_oracle(),
     }
+
+
+def _boilerplate_blocks_oracle() -> str:
+    from docling_plus_spark.operators.boilerplate import (
+        boilerplate_blocks_sql,
+    )
+
+    return boilerplate_blocks_sql("doc_id", _BP_HTML_SQL, "documents")
+
+
+def _main_content_oracle() -> str:
+    from docling_plus_spark.operators.boilerplate import main_content_sql
+
+    return main_content_sql("doc_id", _BP_HTML_SQL, "documents")
+
+
+def _shard_manifest_oracle() -> str:
+    from docling_plus_spark.operators.packing import shard_manifest_sql
+
+    return shard_manifest_sql(
+        65536, "doc_id", "n_chars", "documents"
+    )
+
+
+def _recrawl_schedule_oracle() -> str:
+    from docling_plus_spark.operators.robots import recrawl_schedule_sql
+
+    url = (
+        "'https://h' || (doc_id % 7)::varchar || '.test/page/' "
+        "|| doc_id::varchar"
+    )
+    crawled = (
+        f"SELECT {url} AS url, "
+        "(1700000000 + (doc_id * 37) % 86400)::bigint AS fetched_ts "
+        "FROM documents WHERE doc_id % 4 != 3"
+    )
+    sitemap = (
+        f"SELECT {url} AS url, "
+        "(1700000000 + (doc_id * 53) % 100000)::bigint AS lastmod_ts "
+        "FROM documents WHERE doc_id % 4 != 1"
+    )
+    return recrawl_schedule_sql(crawled, sitemap)
 
 
 def _minhash_sig_oracle() -> str:

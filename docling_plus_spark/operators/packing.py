@@ -214,3 +214,95 @@ SELECT id, win_idx, start_tok, len(w)::bigint AS n_toks,
        md5(array_to_string(w, ' ')) AS window_md5
 FROM wins
 """
+
+
+def shard_manifest(
+    df: DataFrame,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    nbytes_col: str = "n_bytes",
+) -> DataFrame:
+    """(shard_id, id, doc_seq, byte_off, n_bytes) — WebDataset-style
+    shard assignment for training-data export.
+
+    Documents are atomic (never split across shards, unlike
+    :func:`sequence_pack`'s token windows): doc ``id`` lands in shard
+    ``floor(global_byte_offset / target_bytes)``, so every shard is
+    ``target_bytes`` ± one document. ``doc_seq`` is the document's rank
+    inside its shard and ``byte_off`` its global byte offset — the pair
+    a shard writer needs to emit tar members deterministically.
+
+    Scale shape: the same two-phase distributed prefix sum as
+    :func:`sequence_pack` (per-partition sums → broadcast partition
+    offsets → intra-partition window) — no global single-task window;
+    shuffles carry (id, n) longs only. Zero/negative-size documents are
+    dropped.
+    """
+    d = (
+        df.select(F.col(id_col).alias("id"), F.col(nbytes_col).alias("n"))
+        .where(F.col("n") > 0)
+        .repartitionByRange("id")
+        .sortWithinPartitions("id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_sums = d.groupBy("pid").agg(F.sum("n").alias("psum"))
+    w_parts = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    part_offsets = part_sums.select(
+        "pid", F.coalesce(F.sum("psum").over(w_parts), F.lit(0)).alias("poff")
+    )
+    w_intra = (
+        Window.partitionBy("pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.join(F.broadcast(part_offsets), "pid")
+        .withColumn(
+            "off",
+            F.col("poff") + F.coalesce(F.sum("n").over(w_intra), F.lit(0)),
+        )
+        .select("id", "n", "off")
+    )
+    shard = F.expr(f"off div {target_bytes}")
+    w_shard = Window.partitionBy("shard_id").orderBy("off")
+    return (
+        offs.withColumn("shard_id", shard)
+        .withColumn("doc_seq", (F.row_number().over(w_shard) - 1).cast("int"))
+        .select(
+            "shard_id",
+            "id",
+            "doc_seq",
+            F.col("off").alias("byte_off"),
+            F.col("n").alias("n_bytes"),
+        )
+    )
+
+
+def shard_manifest_sql(
+    target_bytes: int,
+    id_expr: str = "doc_id",
+    nbytes_expr: str = "n_bytes",
+    table: str = "t",
+) -> str:
+    """DuckDB twin of :func:`shard_manifest`."""
+    return f"""
+WITH d AS (
+  SELECT {id_expr} AS id, {nbytes_expr} AS n FROM {table}
+  WHERE {nbytes_expr} > 0
+),
+o AS (
+  SELECT id, n,
+         coalesce(sum(n) OVER (ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+             AS off
+  FROM d
+)
+SELECT (off // {target_bytes})::bigint AS shard_id, id,
+       (row_number() OVER (PARTITION BY off // {target_bytes}
+            ORDER BY off) - 1)::int AS doc_seq,
+       off AS byte_off, n::bigint AS n_bytes
+FROM o
+"""

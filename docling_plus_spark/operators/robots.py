@@ -284,3 +284,58 @@ FROM (
   FROM {table}
 ), unnest(range(1, len(ls) + 1)) AS t(i)
 """
+
+
+def recrawl_schedule(
+    crawled: DataFrame,
+    sitemap: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetched_ts",
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod_ts",
+) -> DataFrame:
+    """(url, action, fetched_ts, lastmod_ts) — incremental recrawl plan.
+
+    Joins the crawl index against the sitemap set (the consumer of
+    :func:`robots_sitemaps` → :func:`sitemap_urls`): ``new`` = listed
+    but never fetched, ``refetch`` = lastmod after the stored fetch
+    (the conditional-GET candidate set), ``fresh`` = fetched copy
+    still current, ``unlisted`` = fetched but gone from the sitemap
+    (deletion/audit candidates). Timestamps are epoch seconds (longs)
+    so the plan stays engine-neutral.
+
+    Scale shape: one full outer hash join on url; both sides carry
+    (url, long) only. At daily-crawl scale the sitemap side is the
+    small one per host — AQE picks the broadcast automatically when it
+    fits.
+    """
+    c = crawled.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("fetched_ts")
+    )
+    s = sitemap.select(
+        F.col(loc_col).alias("url"), F.col(lastmod_col).alias("lastmod_ts")
+    )
+    j = c.join(s, "url", "full_outer")
+    action = (
+        F.when(F.col("fetched_ts").isNull(), F.lit("new"))
+        .when(F.col("lastmod_ts").isNull(), F.lit("unlisted"))
+        .when(F.col("lastmod_ts") > F.col("fetched_ts"), F.lit("refetch"))
+        .otherwise(F.lit("fresh"))
+    )
+    return j.select("url", action.alias("action"), "fetched_ts", "lastmod_ts")
+
+
+def recrawl_schedule_sql(
+    crawled_sql: str, sitemap_sql: str
+) -> str:
+    """DuckDB twin of :func:`recrawl_schedule`; subquery args must
+    yield (url, fetched_ts) and (url, lastmod_ts)."""
+    return f"""
+SELECT coalesce(c.url, s.url) AS url,
+       CASE WHEN c.fetched_ts IS NULL THEN 'new'
+            WHEN s.lastmod_ts IS NULL THEN 'unlisted'
+            WHEN s.lastmod_ts > c.fetched_ts THEN 'refetch'
+            ELSE 'fresh' END AS action,
+       c.fetched_ts, s.lastmod_ts
+FROM ({crawled_sql}) c FULL OUTER JOIN ({sitemap_sql}) s USING (url)
+"""

@@ -366,3 +366,46 @@ def test_countmin_counter_shuffle_carries_no_terms(spark):
         b for b in plan.split("\n\n") if b.strip().startswith("(") and "Exchange" in b
     ]
     assert exchanges, plan[:800]
+
+
+def test_boilerplate_blocks_shuffle_carries_features_not_html(spark):
+    """jusText features fold in the narrow stage; the single window
+    exchange (partitioned on doc id) must carry (id, pos, densities,
+    raw label) only — at 10^12 pages the html must never shuffle."""
+    from docling_plus_spark.operators.boilerplate import boilerplate_blocks
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), "text",
+            F.lit("</p><div><a href='/x'>nav</a></div>"),
+        ).alias("html"),
+    )
+    plan = _plan(boilerplate_blocks(d))
+    exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if b.strip().startswith("(") and b.split("\n")[0].endswith("Exchange")
+    ]
+    assert exchanges, plan[:800]
+    for b in exchanges:
+        assert "html#" not in b and "chunk#" not in b, b
+
+
+def test_shard_manifest_no_global_single_task_window(spark):
+    """The byte prefix sum must be the two-phase form: range partition
+    + per-partition windows, never one Window over an Exchange
+    SinglePartition of the full data."""
+    from docling_plus_spark.operators.packing import shard_manifest
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("n_bytes")
+    )
+    plan = _plan(shard_manifest(d, target_bytes=65536))
+    blocks = plan.split("\n\n")
+    for i, b in enumerate(blocks):
+        if "Exchange SinglePartition" in b:
+            # only legal over the tiny per-partition sums table (its
+            # input must aggregate on pid, not carry doc rows)
+            ctx = "\n".join(blocks[max(0, i - 2): i + 2])
+            assert "psum" in ctx or "pid" in ctx, ctx

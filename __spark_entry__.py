@@ -2764,6 +2764,57 @@ def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_schedule(crawled, sitemap)
 
 
+#: per-doc page with 0-2 tables: doc_id%5==0 → none, %3==0 → an extra
+#: ragged one; cells carry doc-dependent text incl. an inline tag
+_WT_HTML_SPARK = (
+    "concat('<h1>doc</h1>',"
+    " case when doc_id % 5 != 0 then concat("
+    "'<table><tr><th>id</th><th>lang</th></tr>',"
+    "'<tr><td>', cast(doc_id as string), '</td><td>', lang, '</td></tr>',"
+    "'<tr><td><i>', substr(text, 1, 20), '</i></td><td>', "
+    "cast(n_chars as string), '</td></tr></table>') else '' end,"
+    " case when doc_id % 3 = 0 then "
+    "'<table><tr><td>x</td></tr><tr><td>y</td><td>z</td></tr></table>'"
+    " else '' end)"
+)
+_WT_HTML_SQL = (
+    "('<h1>doc</h1>'"
+    " || CASE WHEN doc_id % 5 != 0 THEN "
+    "'<table><tr><th>id</th><th>lang</th></tr>'"
+    " || '<tr><td>' || doc_id::varchar || '</td><td>' || lang || "
+    "'</td></tr>'"
+    " || '<tr><td><i>' || substr(text, 1, 20) || '</i></td><td>' || "
+    "n_chars::varchar || '</td></tr></table>' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN "
+    "'<table><tr><td>x</td></tr><tr><td>y</td><td>z</td></tr></table>'"
+    " ELSE '' END)"
+)
+
+
+def _q_web_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables-style cell harvest (operators/webtables.py:web_tables —
+    Cafarella VLDB'08 / WDC corpus shape): every <table> on every page
+    → (id, table, row, col, is_header, text) rows, zero shuffles."""
+    from docling_plus_spark.operators.webtables import web_tables
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_WT_HTML_SPARK).alias("html")
+    )
+    return web_tables(d)
+
+
+def _q_web_table_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table census (operators/webtables.py:web_table_shapes):
+    n_rows/n_cols/header-count/rectangularity per table — the WDC
+    relational-table filter's input statistics."""
+    from docling_plus_spark.operators.webtables import web_table_shapes
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_WT_HTML_SPARK).alias("html")
+    )
+    return web_table_shapes(d)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over synth web_pages from sf0.001 documents."""
     pages = synth_pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -2804,6 +2855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_extract": _q_main_content,
         "shard_manifest": _q_shard_manifest,
         "recrawl_schedule": _q_recrawl_schedule,
+        "web_tables": _q_web_tables,
+        "web_table_shapes": _q_web_table_shapes,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -3800,7 +3853,21 @@ FROM media
         "main_content_extract": _main_content_oracle(),
         "shard_manifest": _shard_manifest_oracle(),
         "recrawl_schedule": _recrawl_schedule_oracle(),
+        "web_tables": _web_tables_oracle(),
+        "web_table_shapes": _web_table_shapes_oracle(),
     }
+
+
+def _web_tables_oracle() -> str:
+    from docling_plus_spark.operators.webtables import web_tables_sql
+
+    return web_tables_sql("doc_id", _WT_HTML_SQL, "documents")
+
+
+def _web_table_shapes_oracle() -> str:
+    from docling_plus_spark.operators.webtables import web_table_shapes_sql
+
+    return web_table_shapes_sql("doc_id", _WT_HTML_SQL, "documents")
 
 
 def _boilerplate_blocks_oracle() -> str:

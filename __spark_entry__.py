@@ -2815,6 +2815,60 @@ def _q_web_table_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web_table_shapes(d)
 
 
+#: page with 5 <img> tags: absolute / protocol-relative / root-relative
+#: / path-relative+good alt / short-alt (dropped) / no-src (dropped)
+_IMG_HTML_SPARK = (
+    "concat("
+    "'<img src=\"https://cdn.test/abs_', cast(doc_id as string), "
+    "'.jpg\" alt=\"', substr(text, 1, 30), '\">',"
+    "'<img alt=\"orphan alt with no src attribute\">',"
+    "'<img src=\"//cdn2.test/pr.png\" alt=\"  spaced   caption here \">',"
+    "'<img src=\"/root.gif\" alt=\"root relative image caption\">',"
+    "'<img src=\"rel_', cast(doc_id as string), "
+    "'.png\" alt=\"tiny\">')"
+)
+_IMG_HTML_SQL = (
+    "('<img src=\"https://cdn.test/abs_' || doc_id::varchar || "
+    "'.jpg\" alt=\"' || substr(text, 1, 30) || '\">'"
+    " || '<img alt=\"orphan alt with no src attribute\">'"
+    " || '<img src=\"//cdn2.test/pr.png\" alt=\"  spaced   caption here \">'"
+    " || '<img src=\"/root.gif\" alt=\"root relative image caption\">'"
+    " || '<img src=\"rel_' || doc_id::varchar || '.png\" alt=\"tiny\">')"
+)
+
+_MIX_WEIGHTS = {"src0": 0.30, "src1": 0.25, "src2": 0.15, "src3": 0.10}
+
+
+def _q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-text pair mining (operators/imagepairs.py:
+    image_alt_pairs): <img> harvest with url resolution + the ≥5-char
+    alt gate, zero shuffles before the per-page rank."""
+    from docling_plus_spark.operators.imagepairs import image_alt_pairs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/page.html"),
+        ).alias("url"),
+        F.expr(_IMG_HTML_SPARK).alias("html"),
+    )
+    return image_alt_pairs(d)
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi/Pile-style training-mixture plan (operators/imagepairs.py:
+    mixture_plan): per-source token shares vs target weights →
+    sample_rate / repeat_epochs with the most-under-represented source
+    kept whole."""
+    from docling_plus_spark.operators.imagepairs import mixture_plan
+
+    return mixture_plan(_docs(spark, sf_dir), _MIX_WEIGHTS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over synth web_pages from sf0.001 documents."""
     pages = synth_pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -2857,6 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": _q_recrawl_schedule,
         "web_tables": _q_web_tables,
         "web_table_shapes": _q_web_table_shapes,
+        "image_alt_pairs": _q_image_alt_pairs,
+        "mixture_plan": _q_mixture_plan,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -3855,7 +3911,25 @@ FROM media
         "recrawl_schedule": _recrawl_schedule_oracle(),
         "web_tables": _web_tables_oracle(),
         "web_table_shapes": _web_table_shapes_oracle(),
+        "image_alt_pairs": _image_alt_pairs_oracle(),
+        "mixture_plan": _mixture_plan_oracle(),
     }
+
+
+def _image_alt_pairs_oracle() -> str:
+    from docling_plus_spark.operators.imagepairs import image_alt_pairs_sql
+
+    url = (
+        "'https://h' || (doc_id % 7)::varchar || '.test/d/' "
+        "|| doc_id::varchar || '/page.html'"
+    )
+    return image_alt_pairs_sql("doc_id", url, _IMG_HTML_SQL, "documents")
+
+
+def _mixture_plan_oracle() -> str:
+    from docling_plus_spark.operators.imagepairs import mixture_plan_sql
+
+    return mixture_plan_sql(_MIX_WEIGHTS)
 
 
 def _web_tables_oracle() -> str:

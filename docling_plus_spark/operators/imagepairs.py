@@ -1,0 +1,227 @@
+"""Image–text pair mining from crawl HTML (LAION-style).
+
+The multimodal training-data pipeline's first step (Schuhmann et al.
+2021, LAION-400M): harvest every ``<img>`` with usable alt text from
+every page, resolve the source URL against the page URL, and keep
+pairs whose alt text looks like a caption. Pure column expressions —
+the regex work stays in scan-stage codegen, no shuffle; the CLIP
+filtering stage that follows in the real pipeline is the embedding
+side this repo covers with ann/semdedup operators.
+
+Reference tie-in: the DOM path treats ``<img>`` as picture items with
+resolved URIs (docling html_backend picture handling); this operator
+is its crawl-scale statistical sibling for corpus building.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_IMG_RE = r"(?is)<img\b[^>]*>"
+_SRC_RE = r"""(?is)\bsrc\s*=\s*["']([^"']+)["']"""
+_ALT_RE = r"""(?is)\balt\s*=\s*["']([^"']*)["']"""
+
+#: LAION's alt-text gate: at least this many characters after trim
+MIN_ALT_CHARS = 5
+
+
+def image_alt_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(id, img_idx, image_url, alt_text) — caption-bearing images.
+
+    ``image_url`` is resolved: absolute kept, protocol-relative gets
+    https, root-relative joins the page origin, path-relative joins
+    the page directory. Images without ``src`` or with alt text
+    shorter than ``MIN_ALT_CHARS`` (LAION's gate) are dropped;
+    ``img_idx`` is the image's position among the page's kept images.
+    """
+    tags = df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("page_url"),
+        # F.lit pattern (not an F.expr SQL literal): the regex contains
+        # \b, which a Spark SQL single-quoted string would eat as a
+        # backspace escape
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_IMG_RE), F.lit(0))
+        ).alias("raw_idx", "tag"),
+    )
+    src = F.regexp_extract(F.col("tag"), _SRC_RE, 1)
+    alt = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(F.col("tag"), _ALT_RE, 1), r"\s+", " "
+        )
+    )
+    origin = F.regexp_extract(F.col("page_url"), r"^([a-z]+://[^/]+)", 1)
+    base_dir = F.regexp_replace(F.col("page_url"), r"[^/]*$", "")
+    resolved = (
+        F.when(src.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*://"), src)
+        .when(src.startswith("//"), F.concat(F.lit("https:"), src))
+        .when(src.startswith("/"), F.concat(origin, src))
+        .otherwise(F.concat(base_dir, src))
+    )
+    kept = tags.select(
+        "id",
+        "raw_idx",
+        resolved.alias("image_url"),
+        alt.alias("alt_text"),
+        src.alias("src"),
+    ).where(
+        (F.length("src") > 0) & (F.length("alt_text") >= MIN_ALT_CHARS)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("raw_idx")
+    return kept.select(
+        "id",
+        (F.row_number().over(w) - 1).cast("int").alias("img_idx"),
+        "image_url",
+        "alt_text",
+    )
+
+
+def image_alt_pairs_sql(
+    id_expr: str = "doc_id",
+    url_expr: str = "url",
+    html_expr: str = "html",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`image_alt_pairs`."""
+    src_re = _SRC_RE.replace("'", "''")
+    alt_re = _ALT_RE.replace("'", "''")
+    return rf"""
+WITH tags AS (
+  SELECT {id_expr} AS id, {url_expr} AS page_url, i - 1 AS raw_idx,
+         tg[i] AS tag
+  FROM (
+    SELECT {id_expr}, {url_expr},
+           regexp_extract_all({html_expr}, '{_IMG_RE}') AS tg
+    FROM {table}
+  ), unnest(range(1, len(tg) + 1)) AS u(i)
+),
+ex AS (
+  SELECT id, page_url, raw_idx,
+         regexp_extract(tag, '{src_re}', 1) AS src,
+         trim(regexp_replace(regexp_extract(tag, '{alt_re}', 1),
+              '\s+', ' ', 'g')) AS alt_text
+  FROM tags
+),
+kept AS (
+  SELECT id, raw_idx,
+         CASE WHEN regexp_matches(src, '^[a-zA-Z][a-zA-Z0-9+.\-]*://')
+                THEN src
+              WHEN starts_with(src, '//') THEN 'https:' || src
+              WHEN starts_with(src, '/')
+                THEN regexp_extract(page_url, '^([a-z]+://[^/]+)', 1) || src
+              ELSE regexp_replace(page_url, '[^/]*$', '') || src
+         END AS image_url,
+         alt_text
+  FROM ex
+  WHERE length(src) > 0 AND length(alt_text) >= {MIN_ALT_CHARS}
+)
+SELECT id,
+       (row_number() OVER (PARTITION BY id ORDER BY raw_idx) - 1)::int
+         AS img_idx,
+       image_url, alt_text
+FROM kept
+"""
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    ntok_col: str = "n_chars",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, actual_frac, target_frac,
+    sample_rate, repeat_epochs) — the training-mixture plan.
+
+    The DoReMi/Pile-style mixing step: given target source weights,
+    compute each source's actual token share and what to do about the
+    gap — downsample (``sample_rate`` < 1) over-represented sources,
+    repeat (``repeat_epochs`` > 1, the ceil of the required
+    oversampling) under-represented ones. The scaling reference is the
+    largest target/actual ratio ≤ 1 source (kept whole); everything is
+    relative to it, so at least one source has sample_rate exactly 1.0.
+
+    Scale shape: one groupBy(source) with map-side partial sums —
+    source cardinality is tiny; the plan is a broadcast-sized table the
+    sampler then applies with a deterministic per-doc hash gate.
+    """
+    tot = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ntok_col).cast("long").alias("n_tokens"),
+    )
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in weights]),
+        F.array(*[F.lit(float(v)) for v in weights.values()]),
+    )
+    from pyspark.sql.window import Window
+
+    # global window over the per-source table: source cardinality is
+    # tiny (a handful of rows), so the single partition is fine
+    wall = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    enriched = tot.withColumn("share", share).withColumn(
+        "target_frac", F.coalesce(wmap[F.col("source")], F.lit(0.0))
+    )
+    # ratio of target to actual share; the reference source is the one
+    # with the largest ratio (most under-represented): it is kept whole
+    # and possibly repeated, everything else downsampled relative to it.
+    # Ratios use the UNROUNDED share (the twin mirrors this); rounding
+    # is output-only.
+    ratio = F.col("target_frac") / F.greatest(F.col("share"), F.lit(1e-12))
+    enriched = enriched.withColumn("ratio", ratio).withColumn(
+        "max_ratio", F.max("ratio").over(wall)
+    )
+    rel = F.col("ratio") / F.col("max_ratio")
+    return enriched.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("actual_frac"),
+        F.round("target_frac", 6).alias("target_frac"),
+        F.round(F.least(rel, F.lit(1.0)), 6).alias("sample_rate"),
+        F.ceil(rel).cast("int").alias("repeat_epochs"),
+    )
+
+
+def mixture_plan_sql(
+    weights: dict[str, float],
+    source_col: str = "source",
+    ntok_expr: str = "n_chars",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`mixture_plan`."""
+    # ::double on the weight literals: a bare 0.3 in VALUES parses as
+    # DECIMAL, which would poison every downstream column type (the
+    # driver's typed hash distinguishes decimal from Spark's double)
+    wm = ", ".join(
+        f"('{k}', {float(v)!r}::double)" for k, v in weights.items()
+    )
+    return f"""
+WITH w(source, target_frac) AS (VALUES {wm}),
+tot AS (
+  SELECT {source_col} AS source, count(*)::bigint AS n_docs,
+         sum({ntok_expr})::bigint AS n_tokens
+  FROM {table} GROUP BY {source_col}
+),
+enr AS (
+  SELECT t.source, n_docs, n_tokens,
+         round(n_tokens / sum(n_tokens) OVER (), 6) AS actual_frac,
+         coalesce(w.target_frac, 0.0) AS target_frac,
+         coalesce(w.target_frac, 0.0)
+           / greatest(n_tokens::double / sum(n_tokens) OVER (), 1e-12)
+           AS ratio
+  FROM tot t LEFT JOIN w ON t.source = w.source
+)
+SELECT source, n_docs, n_tokens, actual_frac,
+       round(target_frac, 6) AS target_frac,
+       round(least(ratio / max(ratio) OVER (), 1.0), 6) AS sample_rate,
+       ceil(ratio / max(ratio) OVER ())::int AS repeat_epochs
+FROM enr
+"""

@@ -1,0 +1,130 @@
+"""Image-text pair mining + mixture planning (operators/imagepairs.py)."""
+
+import duckdb
+import pytest
+
+from docling_plus_spark.operators.imagepairs import (
+    image_alt_pairs,
+    image_alt_pairs_sql,
+    mixture_plan,
+    mixture_plan_sql,
+)
+from docling_plus_spark.plans import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+HTML = (
+    '<p>x</p><img src="https://cdn.test/a.jpg" alt="a red apple on a table">'
+    "<img alt=\"no src here at all\">"
+    '<img src="//cdn2.test/b.png" alt="  spaced   caption  ">'
+    '<img src="/c.gif" alt="root relative caption">'
+    '<img src="d.png" alt="tiny">'
+    "<IMG SRC='e.webp' ALT='single quoted uppercase tag caption'>"
+)
+PAGE_URL = "https://host.test/dir/page.html"
+
+
+def _pairs(spark, html=HTML, url=PAGE_URL):
+    df = spark.createDataFrame(
+        [(1, url, html)], "doc_id long, url string, html string"
+    )
+    return [
+        (r.img_idx, r.image_url, r.alt_text)
+        for r in image_alt_pairs(df).orderBy("img_idx").collect()
+    ]
+
+
+def test_resolution_and_alt_gate(spark):
+    got = _pairs(spark)
+    assert got == [
+        (0, "https://cdn.test/a.jpg", "a red apple on a table"),
+        (1, "https://cdn2.test/b.png", "spaced caption"),   # ws collapsed
+        (2, "https://host.test/c.gif", "root relative caption"),
+        # d.png dropped: alt "tiny" < 5 chars; no-src img dropped
+        (3, "https://host.test/dir/e.webp",
+         "single quoted uppercase tag caption"),
+    ]
+
+
+def test_twin_parity(spark):
+    df = spark.createDataFrame(
+        [(3, PAGE_URL, HTML)], "doc_id long, url string, html string"
+    )
+    got = [
+        tuple(r) for r in image_alt_pairs(df).orderBy("img_idx").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT 3::bigint AS doc_id, "
+        "? AS url, ? AS html",
+        [PAGE_URL, HTML],
+    )
+    oracle = con.execute(
+        "SELECT * FROM ("
+        + image_alt_pairs_sql()
+        + ") ORDER BY img_idx"
+    ).fetchall()
+    assert [tuple(r) for r in oracle] == got
+
+
+def test_hostile_html(spark):
+    bodies = [
+        "",
+        "<img",
+        "<img src= alt=>",
+        '<img src="x.png">' * 200,      # no alt at all
+        '\x00<img src="y.png" alt="valid caption text">\xff',
+    ]
+    df = spark.createDataFrame(
+        [(i, f"https://h.test/{i}", b) for i, b in enumerate(bodies)],
+        "doc_id long, url string, html string",
+    )
+    out = image_alt_pairs(df).collect()
+    assert len(out) == 1 and out[0].alt_text == "valid caption text"
+
+
+def test_mixture_plan_semantics(spark):
+    # src_a over-represented (60% actual vs 30% target),
+    # src_b under-represented (20% vs 50%), src_c untargeted
+    rows = (
+        [(i, "src_a", 60) for i in range(10)]
+        + [(i + 10, "src_b", 20) for i in range(10)]
+        + [(i + 20, "src_c", 20) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = {
+        r.source: r
+        for r in mixture_plan(
+            df, {"src_a": 0.3, "src_b": 0.5}, ntok_col="n"
+        ).collect()
+    }
+    b = out["src_b"]
+    assert b.sample_rate == 1.0          # reference source kept whole
+    assert b.repeat_epochs == 1
+    a = out["src_a"]
+    # target/actual: a = 0.3/0.6 = 0.5; b = 0.5/0.2 = 2.5 → rel a = 0.2
+    assert a.sample_rate == pytest.approx(0.2)
+    c = out["src_c"]
+    assert c.sample_rate == 0.0 and c.repeat_epochs == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{s}', {n})" for i, s, n in rows)
+        + ") t(doc_id, source, n)"
+    )
+    oracle = con.execute(
+        "SELECT * FROM ("
+        + mixture_plan_sql({"src_a": 0.3, "src_b": 0.5}, ntok_expr="n")
+        + ") ORDER BY source"
+    ).fetchall()
+    got = sorted(
+        (tuple(out[k]) for k in out), key=lambda t: t[0]
+    )
+    assert [tuple(r) for r in oracle] == got

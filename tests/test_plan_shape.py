@@ -409,3 +409,42 @@ def test_shard_manifest_no_global_single_task_window(spark):
             # input must aggregate on pid, not carry doc rows)
             ctx = "\n".join(blocks[max(0, i - 2): i + 2])
             assert "psum" in ctx or "pid" in ctx, ctx
+
+
+def test_web_tables_zero_shuffle(spark):
+    """The triple explode + regex harvest is a narrow projection of the
+    scan — no Exchange anywhere in the plan."""
+    from docling_plus_spark.operators.webtables import web_tables
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("<table><tr><td>"), "text", F.lit("</td></tr></table>")
+        ).alias("html"),
+    )
+    plan = _plan(web_tables(d))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_image_alt_pairs_single_rank_shuffle_no_html(spark):
+    """Only the per-page rank shuffles, and it carries the kept pairs
+    (id, raw_idx, urls, alt) — never the page html."""
+    from docling_plus_spark.operators.imagepairs import image_alt_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.lit("https://h.test/d/p.html").alias("url"),
+        F.concat(
+            F.lit('<img src="/a.png" alt="a caption of the image">'),
+            F.lit('<p>'), "text", F.lit("</p>"),
+        ).alias("html"),
+    )
+    plan = _plan(image_alt_pairs(d))
+    exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if b.strip().startswith("(") and b.split("\n")[0].endswith("Exchange")
+    ]
+    assert exchanges, plan[:800]
+    for b in exchanges:
+        assert "html#" not in b, b

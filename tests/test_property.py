@@ -215,3 +215,77 @@ def test_pdf_parser_survives_byte_mutations(pos, junk, mode):
         assert isinstance(pages, list)
     except NeedsNativeParserError:
         pass
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                   max_size=60),
+    target=st.integers(min_value=1, max_value=700),
+)
+@settings(max_examples=60, deadline=None)
+def test_shard_manifest_twin_matches_reference_on_fuzz(sizes, target):
+    """DuckDB shard twin vs a pure-Python prefix-sum model: atomicity,
+    offsets, shard assignment, in-shard ranks."""
+    from docling_plus_spark.operators.packing import shard_manifest_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {n})" for i, n in enumerate(sizes))
+        + ") v(doc_id, n_bytes)"
+    )
+    got = con.execute(
+        "SELECT * FROM ("
+        + shard_manifest_sql(target, "doc_id", "n_bytes", "t")
+        + ") ORDER BY byte_off"
+    ).fetchall()
+
+    # independent model
+    exp = []
+    off = 0
+    seq: dict[int, int] = {}
+    for i, n in enumerate(sizes):
+        if n <= 0:
+            continue
+        shard = off // target
+        exp.append((shard, i, seq.get(shard, 0), off, n))
+        seq[shard] = seq.get(shard, 0) + 1
+        off += n
+    assert got == exp
+    # invariant: a shard's bytes stay under target + max doc
+    by_shard = Counter()
+    for shard, _i, _s, _o, n in exp:
+        by_shard[shard] += n
+    big = max(sizes) if sizes else 0
+    assert all(v < target + big + 1 for v in by_shard.values())
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=1000), min_size=1,
+                  max_size=8),
+    weights=st.lists(st.floats(min_value=0.01, max_value=1.0), min_size=1,
+                     max_size=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_mixture_plan_invariants_on_fuzz(toks, weights):
+    """The reference source always has sample_rate exactly 1.0; all
+    rates lie in [0, 1]; repeat_epochs >= 1 wherever targeted."""
+    from docling_plus_spark.operators.imagepairs import mixture_plan_sql
+
+    srcs = [f"s{i}" for i in range(len(toks))]
+    w = {s: weights[i % len(weights)] for i, s in enumerate(srcs)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{s}', {n})" for i, (s, n) in
+                   enumerate(zip(srcs, toks)))
+        + ") v(doc_id, source, n)"
+    )
+    rows = con.execute(
+        mixture_plan_sql(w, ntok_expr="n")
+    ).fetchall()
+    rates = {r[0]: r[5] for r in rows}
+    reps = {r[0]: r[6] for r in rows}
+    assert all(0.0 <= v <= 1.0 for v in rates.values())
+    assert any(v == 1.0 for v in rates.values())
+    assert all(reps[s] >= 1 for s in srcs if w[s] > 0)

@@ -87,6 +87,35 @@ def _st_sample(df: DataFrame, args) -> DataFrame:
     return df.filter(bucket < bound)
 
 
+def _st_mixture(df: DataFrame, args) -> DataFrame:
+    """Down-sample over-represented sources to the --mix-weights
+    targets (operators/imagepairs.py:mixture_plan); the plan table is
+    tiny, so its per-source sample_rate broadcasts and the gate is the
+    same deterministic hash-Bernoulli as --sample-rate (zero shuffle
+    on the corpus side). Repeat epochs (>1) are a writer concern and
+    are not applied here — a filter chain can only subtract."""
+    from docling_plus_spark.operators.imagepairs import mixture_plan
+
+    weights = {}
+    for part in (args.mix_weights or "").split(","):
+        if "=" in part:
+            k, v = part.split("=", 1)
+            weights[k.strip()] = float(v)
+    if not weights:
+        raise SystemExit("--mix-weights required for the mixture stage")
+    plan = mixture_plan(df, weights, source_col="source",
+                        ntok_col="n_chars")
+    rates = plan.select("source", "sample_rate")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), "source")
+        .filter(bucket < (F.col("sample_rate") * (1 << 24)).cast("long"))
+        .drop("sample_rate")
+    )
+
+
 STAGES: dict[str, Callable] = {
     "gopher": _st_gopher,
     "c4": _st_c4,
@@ -94,6 +123,7 @@ STAGES: dict[str, Callable] = {
     "exact_dedup": _st_exact_dedup,
     "minhash_dedup": _st_minhash_dedup,
     "sample": _st_sample,
+    "mixture": _st_mixture,
 }
 
 
@@ -106,6 +136,8 @@ def parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                    help=f"comma-separated from {sorted(STAGES)}")
     p.add_argument("--sample-rate", type=float, default=0.5)
     p.add_argument("--minhash-threshold", type=float, default=0.7)
+    p.add_argument("--mix-weights", default="",
+                   help="source=frac,... targets for the mixture stage")
     return p.parse_args(argv)
 
 

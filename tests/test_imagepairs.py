@@ -2,6 +2,7 @@
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from docling_plus_spark.operators.imagepairs import (
     image_alt_pairs,
@@ -128,3 +129,31 @@ def test_mixture_plan_semantics(spark):
         (tuple(out[k]) for k in out), key=lambda t: t[0]
     )
     assert [tuple(r) for r in oracle] == got
+
+
+def test_curation_mixture_stage(spark):
+    """The job_curate 'mixture' stage composes mixture_plan into the
+    filter chain: deterministic, per-source survivor fractions track
+    the plan's sample_rate."""
+    from docling_plus_spark.job_curate import _st_mixture, parse_args
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    args = parse_args([
+        "--input", "x", "--output", "y",
+        "--mix-weights", "src0=0.5,src1=0.05",
+    ])
+    out = _st_mixture(df, args)
+    surv = {r["source"]: r["n"] for r in
+            out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in
+            df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # src0 is the most under-represented target -> kept whole
+    assert surv["src0"] == base["src0"]
+    # src1 heavily downsampled; untargeted sources dropped entirely
+    assert surv.get("src1", 0) < base["src1"]
+    assert "src5" not in surv
+    # deterministic
+    surv2 = {r["source"]: r["n"] for r in
+             _st_mixture(df, args).groupBy("source")
+             .agg(F.count("*").alias("n")).collect()}
+    assert surv == surv2

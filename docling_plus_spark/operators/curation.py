@@ -185,10 +185,16 @@ def dsir_weights(
     )
     # reduce ONCE to per-(doc, bucket) counts: every downstream table —
     # raw/target bucket histograms, corpus totals, and the scoring pass
-    # — derives from this same aggregate, so Spark's ReuseExchange runs
-    # the explode+hash lineage a single time (4 passes before)
-    doc_b = feats.groupBy("id", "is_target", "b").agg(
-        F.count("*").alias("c")
+    # — derives from this same aggregate. ReuseExchange alone does NOT
+    # keep this single-pass: the target branch's is_target filter (a
+    # grouping key) pushes below the aggregate into its own scan, so
+    # the explode+md5 lineage ran 4× (8 parquet scans at sf0.1,
+    # observed). The eager checkpoint pins one materialization — at
+    # 100 TB this is the difference between 1 and 4 corpus scans.
+    doc_b = (
+        feats.groupBy("id", "is_target", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     raw = doc_b.groupBy("b").agg(F.sum("c").alias("c_raw"))
     tgt = (

@@ -193,7 +193,9 @@ def minhash_prepare(
     )
 
 
-def minhash_candidate_pairs(prepared: DataFrame, max_bucket: int = 4096) -> DataFrame:
+def minhash_candidate_pairs(
+    prepared: DataFrame, max_bucket: int = 4096, pin: bool = True
+) -> DataFrame:
     """Self-join on band buckets → distinct (id_a < id_b) candidate pairs
     with estimated Jaccard = fraction of equal signature components.
 
@@ -214,6 +216,13 @@ def minhash_candidate_pairs(prepared: DataFrame, max_bucket: int = 4096) -> Data
       pair distinct, so the distinct shuffles (id_a, id_b, est) only —
       signature arrays never ride through it.
     """
+    # eager checkpoint: prepared feeds the bucket count AND the join,
+    # and its lineage is the full md5-shingle + signature pass — without
+    # the pin that pass re-executed per consumer (runtime plan showed
+    # repeated Generates). Pinned rows are (id, sig longs, band_key).
+    # pin=False keeps the logical plan inspectable (plan-shape tests).
+    if pin:
+        prepared = prepared.localCheckpoint(eager=True)
     counts = prepared.groupBy("band_key").agg(F.count("*").alias("_m"))
     splits = (F.ceil(F.col("_m") / F.lit(max_bucket))).cast("int").alias("_s")
     p = prepared.join(counts.select("band_key", splits), "band_key").withColumn(
@@ -229,7 +238,10 @@ def minhash_candidate_pairs(prepared: DataFrame, max_bucket: int = 4096) -> Data
             F.least(i, F.col("_g")).alias("u"), F.greatest(i, F.col("_g")).alias("v")
         ),
     )
+    # pin keyed: it feeds both sides of the self-join
     keyed = p.select("band_key", "id", "sig", F.explode(cells).alias("cell"))
+    if pin:
+        keyed = keyed.localCheckpoint(eager=True)
     a = keyed.select(
         "band_key", "cell", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
@@ -360,6 +372,10 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     identical — full recall at the default threshold (pigeonhole), unlike
     a 2-half scheme where a 1+2 split across halves escapes both blocks.
     """
+    # eager checkpoint: the (id, simhash) table feeds both sides of the
+    # block self-join; without the pin the full word-hash pass over the
+    # corpus ran once per side (runtime plan audit)
+    sim_df = sim_df.localCheckpoint(eager=True)
     width = SIMHASH_BITS // SIMHASH_BLOCKS
     mask = (1 << width) - 1
     blocks = [
@@ -498,6 +514,7 @@ def winnow_candidate_pairs(
     window: int = 4,
     max_bucket: int = 4096,
     max_doc_freq: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """MOSS-style dedup candidates: documents sharing >= 1 winnowing
     fingerprint, with the shared-fingerprint count as match strength.
@@ -523,7 +540,14 @@ def winnow_candidate_pairs(
     {min(i,g), max(i,g)} so no single task materializes the m^2 blowup.
     The join carries only (fingerprint, id) — no payloads.
     """
+    # eager checkpoint: fp feeds the frequency count AND the pair join,
+    # and the winnow transform chain is the single most expensive
+    # projection in the repo — without the pin it re-executed per
+    # consumer (6 Generate nodes in the runtime plan; corpus text read
+    # repeatedly). The pinned table is (id, fingerprint) longs only.
     fp = winnow_fingerprints_exploded(df, id_col, text_col, k, window)
+    if pin:
+        fp = fp.localCheckpoint(eager=True)
     counts = fp.groupBy("fingerprint").agg(F.count("*").alias("_m"))
     if max_doc_freq is not None:
         counts = counts.filter(F.col("_m") <= max_doc_freq)
@@ -537,7 +561,11 @@ def winnow_candidate_pairs(
             F.least(i, F.col("_g")).alias("u"), F.greatest(i, F.col("_g")).alias("v")
         ),
     )
+    # pin keyed too: it feeds BOTH sides of the self-join (a re-derive
+    # would double the explode); (fingerprint, cell, id) scalars only
     keyed = p.select("fingerprint", "id", F.explode(cells).alias("cell"))
+    if pin:
+        keyed = keyed.localCheckpoint(eager=True)
     a = keyed.select("fingerprint", "cell", F.col("id").alias("id_a"))
     b = keyed.select("fingerprint", "cell", F.col("id").alias("id_b"))
     joined = (
@@ -781,6 +809,10 @@ def minhash_incremental_pairs(
     be layered exactly as in minhash_candidate_pairs if a boilerplate
     bucket dominates an epoch.
     """
+    # eager checkpoint: new_prepared feeds BOTH the probe side and the
+    # new-new half of the build side — without the pin the md5-shingle
+    # signature pass over the new batch ran twice (runtime plan audit)
+    new_prepared = new_prepared.localCheckpoint(eager=True)
     n = new_prepared.select(
         "band_key", F.col("id").alias("new_id"), F.col("sig").alias("sig_n")
     )

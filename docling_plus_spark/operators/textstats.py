@@ -121,7 +121,9 @@ def char_bigram_logprob(
     broadcast (≤ |charset|² rows under Zipf) with the smoothed NLL
     precomputed per bigram; the scoring pass is one broadcast join plus
     a weighted average. Two key-shuffles total, and the heavy explode
-    lineage is shared between model and scoring via exchange reuse.
+    lineage runs once: the reduced per-doc counts are pinned with an
+    eager checkpoint (exchange reuse alone does not survive the
+    optimizer here — verified by runtime scan counts).
     """
     s = F.lower(F.col(text_col))
     docs = (
@@ -135,7 +137,15 @@ def char_bigram_logprob(
         "s",
         F.explode(F.sequence(F.lit(1), F.length("s") - 1)).alias("i"),
     ).select("id", F.col("s").substr(F.col("i"), F.lit(2)).alias("bg"))
-    pair_counts = bg.groupBy("id", "bg").agg(F.count("*").alias("c"))
+    # eager checkpoint: model chain AND scoring both read pair_counts;
+    # without the pin, exchange reuse does NOT survive optimization
+    # (observed: 4 runtime scans of the corpus at sf0.001) — the corpus
+    # must be read exactly once at 100 TB
+    pair_counts = (
+        bg.groupBy("id", "bg")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     bg_counts = pair_counts.groupBy("bg").agg(F.sum("c").alias("c_bg"))
     uni_counts = bg_counts.groupBy(
         F.substring("bg", 1, 1).alias("u")

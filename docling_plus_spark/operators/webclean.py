@@ -618,7 +618,11 @@ def sentence_dedup(
     """
     from docling_plus_spark.operators.spans import sentence_spans
 
-    sp = sentence_spans(df, id_col, text_col)
+    # eager checkpoint: sp feeds the frequency count, the keep-mark
+    # join, and the per-doc stats — without the pin the sentence-split
+    # pass over the corpus ran three times (runtime plan audit); pinned
+    # rows are (id, idx, span ints, md5), never sentence text
+    sp = sentence_spans(df, id_col, text_col).localCheckpoint(eager=True)
     freq = (
         sp.groupBy("sent_md5")
         .agg(

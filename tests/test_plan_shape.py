@@ -71,7 +71,7 @@ def test_minhash_candidates_no_cartesian(spark):
     )
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(minhash_candidate_pairs(minhash_prepare(d)))
+    plan = _plan(minhash_candidate_pairs(minhash_prepare(d), pin=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -162,7 +162,7 @@ def test_winnow_pairs_no_cartesian_and_filter_before_join(spark):
     from docling_plus_spark.operators.dedup import winnow_candidate_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(winnow_candidate_pairs(docs, max_doc_freq=20))
+    plan = _plan(winnow_candidate_pairs(docs, max_doc_freq=20, pin=False))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     # the df cap appears as a post-aggregation filter on the count

@@ -143,11 +143,15 @@ def semdedup(
     exemplar rule — the deterministic stand-in for the paper's
     keep-farthest-from-centroid, chosen so the DuckDB twin replays
     selection exactly). Returns (id, cluster, kept)."""
-    base = _base(emb, id_col, vec_col)
+    # pin base (read per k-means round + final assign) and the final
+    # assignment (feeds BOTH self-join sides and the kept-join): without
+    # the pins the normalize+assign pass re-executed per consumer
+    # (6 corpus scans observed at sf0.001)
+    base = _base(emb, id_col, vec_col).localCheckpoint(eager=True)
     cents = init_centroids(base, k)
     for _ in range(iters):
         cents = _recompute(_assign(base, cents)).localCheckpoint()
-    assigned = _assign(base, cents)
+    assigned = _assign(base, cents).localCheckpoint(eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     doomed = (
         a.join(b, "cluster")
@@ -534,14 +538,18 @@ def ivfpq_topk(
     distance (round 4), tie on xid; self-matches excluded; queries are
     the ``id % query_mod == 0`` slice.
     """
-    base = _base(emb, id_col, vec_col)
+    # pin the two shared vector tables: base feeds coarse training,
+    # list assignment AND the query slice; sv feeds codebook training,
+    # code assignment AND the query lookup tables — unpinned, the
+    # normalize/split passes re-executed per consumer (4 corpus scans)
+    base = _base(emb, id_col, vec_col).localCheckpoint(eager=True)
     coarse = init_centroids(base, n_lists)
     coarse = _recompute(_assign(base, coarse)).localCheckpoint()
     assigned = _assign(base, coarse).select(
         "id", F.col("cluster").alias("list_id")
     )
     # PQ codes for the whole corpus (subspace k-means as in pq_codes)
-    sv = _sub_split(emb, m, id_col, vec_col)
+    sv = _sub_split(emb, m, id_col, vec_col).localCheckpoint(eager=True)
     w = Window.partitionBy("sub").orderBy("id")
     cents = (
         sv.withColumn("rk", F.row_number().over(w))

@@ -45,6 +45,8 @@ BOUNDS = [
     ("simhash_near", 0, 2),          # block explode over pinned (id, sim)
     ("sentence_dedup", 1, 0),        # final text slice re-reads the docs
     ("ccnet_buckets", 1, 0),
+    ("semdedup", 0, 0),              # base + final assignment pinned
+    ("ivfpq_topk", 0, 2),            # base + subvector split pinned
 ]
 
 

@@ -552,6 +552,16 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, k=5, n_lists=32, nprobe=4)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation (operators/ann.py:ann_recall): per-query
+    recall@5 of the IVF probe against the exact brute-force top-k —
+    the nprobe/n_lists tuning loop, on the sampled query slice."""
+    from docling_plus_spark.operators.ann import ann_recall
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    return ann_recall(emb, k=5, n_lists=32, nprobe=4)
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (2 Lloyd rounds, deterministic
     lowest-id seeding): broadcast assignment + tiny (cluster, dim)
@@ -2913,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_table_shapes": _q_web_table_shapes,
         "image_alt_pairs": _q_image_alt_pairs,
         "mixture_plan": _q_mixture_plan,
+        "ann_recall": _q_ann_recall,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -3913,7 +3924,39 @@ FROM media
         "web_table_shapes": _web_table_shapes_oracle(),
         "image_alt_pairs": _image_alt_pairs_oracle(),
         "mixture_plan": _mixture_plan_oracle(),
+        "ann_recall": _ann_recall_oracle(),
     }
+
+
+def _ann_recall_oracle() -> str:
+    brute = f"""
+WITH u AS (
+  SELECT vec_id AS id, {_UNIT_SQL} AS uemb FROM embeddings
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, {_COS_SQL} AS cosine
+  FROM u a, u b WHERE a.id != b.id
+),
+truth AS (
+  SELECT id_a, id_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+        ORDER BY cosine DESC, id_b) AS rk FROM p
+  ) WHERE rk <= 5
+),
+approx AS (
+  SELECT id_a, id_b FROM ({_ann_ivf_oracle(n_lists=32)})
+),
+per_q AS (SELECT id_a, count(*) AS n_true FROM truth GROUP BY id_a),
+got AS (
+  SELECT t.id_a, count(*) AS n_hits
+  FROM truth t JOIN approx a ON t.id_a = a.id_a AND t.id_b = a.id_b
+  GROUP BY t.id_a
+)
+SELECT p.id_a, coalesce(g.n_hits, 0)::bigint AS n_hits,
+       round(coalesce(g.n_hits, 0) / p.n_true, 6) AS recall
+FROM per_q p LEFT JOIN got g ON p.id_a = g.id_a
+"""
+    return brute
 
 
 def _image_alt_pairs_oracle() -> str:

@@ -262,3 +262,45 @@ def cosine_topk_ivf(
         .filter(F.col("rk") <= k)
         .select("id_a", "rk", "id_b", "cosine")
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, n_hits, recall) — IVF recall@k against the exact top-k.
+
+    The evaluation loop every ANN deployment runs before trusting an
+    index: for each query, the fraction of its true (brute-force)
+    top-k neighbours the IVF probe recovered. Tuning nprobe/n_lists is
+    reading this table.
+
+    Scale shape: the brute side is the ground truth and is O(n²) — at
+    production scale this runs on a SAMPLED query slice (the id set
+    passed in `emb`), exactly how FAISS benchmarks do it; the join
+    back is id-keyed on (query, neighbour) int pairs only.
+    """
+    truth = cosine_topk_bruteforce(emb, k, id_col, vec_col).select(
+        "id_a", "id_b"
+    )
+    approx = cosine_topk_ivf(emb, k, n_lists, nprobe, id_col, vec_col).select(
+        "id_a", F.col("id_b").alias("id_b_ivf")
+    )
+    hits = truth.join(
+        approx.withColumnRenamed("id_b_ivf", "id_b"), ["id_a", "id_b"]
+    )
+    per_q = truth.groupBy("id_a").agg(F.count("*").alias("n_true"))
+    got = hits.groupBy("id_a").agg(F.count("*").alias("n_hits"))
+    return (
+        per_q.join(got, "id_a", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "id_a",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_true"), 6).alias("recall"),
+        )
+    )

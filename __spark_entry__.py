@@ -562,6 +562,15 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(emb, k=5, n_lists=32, nprobe=4)
 
 
+def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney word-bigram NLL per doc (operators/
+    textstats.py:kn_bigram_nll) — the proper-smoothing CCNet-class
+    perplexity filter at the bigram order, fitted on the corpus."""
+    from docling_plus_spark.operators.textstats import kn_bigram_nll
+
+    return kn_bigram_nll(_docs(spark, sf_dir))
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (2 Lloyd rounds, deterministic
     lowest-id seeding): broadcast assignment + tiny (cluster, dim)
@@ -2924,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_alt_pairs": _q_image_alt_pairs,
         "mixture_plan": _q_mixture_plan,
         "ann_recall": _q_ann_recall,
+        "kn_perplexity": _q_kn_perplexity,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -3925,7 +3935,14 @@ FROM media
         "image_alt_pairs": _image_alt_pairs_oracle(),
         "mixture_plan": _mixture_plan_oracle(),
         "ann_recall": _ann_recall_oracle(),
+        "kn_perplexity": _kn_perplexity_oracle(),
     }
+
+
+def _kn_perplexity_oracle() -> str:
+    from docling_plus_spark.operators.textstats import kn_bigram_nll_sql
+
+    return kn_bigram_nll_sql("doc_id", "text")
 
 
 def _ann_recall_oracle() -> str:

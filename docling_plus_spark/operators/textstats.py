@@ -719,3 +719,136 @@ SELECT g.id, count(*)::bigint AS n_grams,
 FROM g JOIN first f ON f.gram = g.gram
 GROUP BY g.id
 """
+
+
+def kn_bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(id, n_bigrams, mean_nll) — per-document word-bigram NLL under
+    interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999's
+    interpolated form with a fixed discount), fitted on the corpus
+    itself. The proper-smoothing upgrade of the add-one char model in
+    :func:`char_bigram_logprob` — this is the actual CCNet-class
+    perplexity-filter shape (KenLM's smoothing family) at the bigram
+    order:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1·)
+                   + D · N1+(w1 ·)/c(w1·) · P_cont(w2)
+        P_cont(w2) = N1+(· w2) / N1+(· ·)
+
+    Every scored bigram was observed in fitting (same corpus), so the
+    formula never needs the unseen-context fallback.
+
+    Scale shape: one explode to per-(doc, bigram) counts, pinned with
+    an eager checkpoint (model tables AND scoring read it — the
+    single-scan discipline); model tables are (word-key, counts)
+    aggregates whose shuffles carry words + longs; the scoring pass is
+    two key-joins plus a weighted average. N1+(··) is a broadcast
+    scalar.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    d = df.select(F.col(id_col).alias("id"), words.alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    bg = d.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    doc_bg = (
+        bg.groupBy("id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    # model tables (all derived from the pinned reduction)
+    pair = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    left = pair.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1plus_fw")
+    )
+    cont = pair.groupBy("w2").agg(F.count("*").alias("n1plus_bw"))
+    total_types = pair.agg(F.count("*").alias("n_types"))
+    dlit = F.lit(float(discount))
+    model = (
+        pair.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total_types))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    F.greatest(F.col("c12") - dlit, F.lit(0.0)) / F.col("c1")
+                    + dlit
+                    * F.col("n1plus_fw")
+                    / F.col("c1")
+                    * F.col("n1plus_bw")
+                    / F.col("n_types")
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        doc_bg.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("nll")) / F.sum("c"), 6).alias(
+                "mean_nll"
+            ),
+        )
+    )
+
+
+def kn_bigram_nll_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    discount: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`kn_bigram_nll`."""
+    return rf"""
+WITH d AS (
+  SELECT {id_expr} AS id,
+         list_filter(string_split_regex(lower({text_expr}), '\s+'),
+                     t -> t <> '') AS ws
+  FROM {table}
+),
+bg AS (
+  SELECT id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM d, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+doc_bg AS (SELECT id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+pair AS (SELECT w1, w2, sum(c)::bigint AS c12 FROM doc_bg GROUP BY 1, 2),
+lft AS (
+  SELECT w1, sum(c12)::bigint AS c1, count(*) AS n1plus_fw
+  FROM pair GROUP BY 1
+),
+cont AS (SELECT w2, count(*) AS n1plus_bw FROM pair GROUP BY 1),
+tot AS (SELECT count(*) AS n_types FROM pair),
+model AS (
+  SELECT p.w1, p.w2,
+         -ln(greatest(p.c12 - {discount!r}, 0.0) / l.c1
+             + {discount!r} * l.n1plus_fw / l.c1
+               * c.n1plus_bw / t.n_types) AS nll
+  FROM pair p JOIN lft l ON p.w1 = l.w1
+  JOIN cont c ON p.w2 = c.w2
+  CROSS JOIN tot t
+)
+SELECT b.id, sum(b.c)::bigint AS n_bigrams,
+       round(sum(b.c * m.nll) / sum(b.c), 6) AS mean_nll
+FROM doc_bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+GROUP BY b.id
+"""

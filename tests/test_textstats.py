@@ -118,3 +118,56 @@ def test_inverted_index_min_df_prunes(spark):
     )
     terms = {r.term for r in inverted_index(df, min_df=2).collect()}
     assert terms == {"shared"}
+
+
+def test_kn_bigram_formula_hand_check(spark):
+    """Interpolated KN on a 3-doc corpus, verified against the formula
+    computed by hand in pure Python."""
+    import math
+
+    from docling_plus_spark.operators.textstats import kn_bigram_nll
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: (r.n_bigrams, r.mean_nll) for r in kn_bigram_nll(df).collect()}
+
+    # corpus bigrams: (a,b)x3 [doc1 x2, doc2], (b,a)x1, (b,c)x1, (c,a)x1
+    pair = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("c", "a"): 1}
+    c1 = {"a": 3, "b": 2, "c": 1}
+    n1plus_fw = {"a": 1, "b": 2, "c": 1}
+    n1plus_bw = {"a": 2, "b": 1, "c": 1}
+    n_types = 4
+    D = 0.75
+
+    def p(w1, w2):
+        return (
+            max(pair[(w1, w2)] - D, 0.0) / c1[w1]
+            + D * n1plus_fw[w1] / c1[w1] * n1plus_bw[w2] / n_types
+        )
+
+    def mean_nll(bgs):
+        return round(sum(-math.log(p(*b)) for b in bgs) / len(bgs), 6)
+
+    assert out[1] == (3, mean_nll([("a", "b"), ("b", "a"), ("a", "b")]))
+    assert out[2] == (2, mean_nll([("a", "b"), ("b", "c")]))
+    assert out[3] == (1, mean_nll([("c", "a")]))
+
+
+def test_kn_typical_text_scores_lower_than_rare(spark):
+    from docling_plus_spark.operators.textstats import kn_bigram_nll
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)] + [(99, "zyx qwv jkl pqr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.mean_nll for r in kn_bigram_nll(df).collect()}
+    assert out[0] < out[99]
+
+
+def test_kn_short_docs_dropped(spark):
+    from docling_plus_spark.operators.textstats import kn_bigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")],
+        "doc_id long, text string",
+    )
+    assert [r.id for r in kn_bigram_nll(df).collect()] == [3]

@@ -289,3 +289,86 @@ def test_mixture_plan_invariants_on_fuzz(toks, weights):
     assert all(0.0 <= v <= 1.0 for v in rates.values())
     assert any(v == 1.0 for v in rates.values())
     assert all(reps[s] >= 1 for s in srcs if w[s] > 0)
+
+
+_BP_WORDS = ["the", "of", "and", "table", "zyx", "data", "qwv", "work"]
+
+
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "div", "li", "h1"]),
+            st.lists(st.sampled_from(_BP_WORDS), min_size=0, max_size=25),
+            st.booleans(),  # wrap content in <a>
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_boilerplate_twin_matches_python_model_on_fuzz(blocks):
+    """DuckDB jusText twin vs an independent pure-Python model of the
+    same algorithm (densities, thresholds, two-pass context rule)."""
+    from docling_plus_spark.operators.boilerplate import (
+        LEN_LOW,
+        MAX_LINK_DENSITY,
+        STOP_LOW,
+        STOPWORDS,
+        boilerplate_blocks_sql,
+    )
+
+    html = "".join(
+        f"<{tag}>" + (
+            ("<a href='/x'>" + " ".join(ws) + "</a>")
+            if link else " ".join(ws)
+        ) + f"</{tag}>"
+        for tag, ws, link in blocks
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT 1::bigint AS doc_id, ? AS html",
+        [html],
+    )
+    got = con.execute(
+        "SELECT * FROM (" + boilerplate_blocks_sql() + ") ORDER BY pos"
+    ).fetchall()
+
+    # independent model
+    stop = set(STOPWORDS)
+    rated = []
+    for tag, ws, link in blocks:
+        text = " ".join(ws)
+        if not text.strip():
+            continue
+        n_chars = len(text)
+        link_chars = n_chars if link else 0
+        n_words = len(ws)
+        n_stop = sum(1 for w in ws if w in stop)
+        ld = round(link_chars / max(n_chars, 1), 6)
+        sd = round(n_stop / max(n_words, 1), 6)
+        if ld > MAX_LINK_DENSITY:
+            raw = "bad"
+        elif n_chars < LEN_LOW:
+            raw = "short"
+        elif sd >= STOP_LOW:
+            raw = "good"
+        else:
+            raw = "near_good"
+        rated.append([n_chars, ld, sd, raw])
+    exp = []
+    for i, (n_chars, ld, sd, raw) in enumerate(rated):
+        certain = [r[3] for r in rated if r[3] in ("good", "bad")]
+        prev = next(
+            (rated[j][3] for j in range(i - 1, -1, -1)
+             if rated[j][3] in ("good", "bad")), "bad")
+        nxt = next(
+            (rated[j][3] for j in range(i + 1, len(rated))
+             if rated[j][3] in ("good", "bad")), "bad")
+        if raw in ("good", "bad"):
+            label = raw
+        elif raw == "near_good":
+            label = "good" if (prev == "good" or nxt == "good") else "bad"
+        else:
+            label = "good" if (prev == "good" and nxt == "good") else "bad"
+        exp.append((1, i, n_chars, ld, sd, label))
+    assert got == exp

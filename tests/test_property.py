@@ -372,3 +372,50 @@ def test_boilerplate_twin_matches_python_model_on_fuzz(blocks):
             label = "good" if (prev == "good" and nxt == "good") else "bad"
         exp.append((1, i, n_chars, ld, sd, label))
     assert got == exp
+
+
+@given(
+    tables=st.lists(
+        st.lists(  # rows
+            st.lists(  # cells: (is_th, word-count)
+                st.tuples(st.booleans(),
+                          st.integers(min_value=0, max_value=4)),
+                min_size=0, max_size=4,
+            ),
+            min_size=0, max_size=4,
+        ),
+        min_size=0, max_size=3,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_web_tables_twin_matches_python_model_on_fuzz(tables):
+    """DuckDB web_tables twin vs a direct Python construction of the
+    expected (table, row, col, is_header, text) cells."""
+    from docling_plus_spark.operators.webtables import web_tables_sql
+
+    def cell_html(is_th, n):
+        tag = "th" if is_th else "td"
+        return f"<{tag}>{' '.join(['w'] * n)}</{tag}>"
+
+    html = "".join(
+        "<table>" + "".join(
+            "<tr>" + "".join(cell_html(h, n) for h, n in row) + "</tr>"
+            for row in tbl
+        ) + "</table>"
+        for tbl in tables
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT 1::bigint AS doc_id, ? AS html",
+        [html],
+    )
+    got = con.execute(
+        "SELECT * FROM (" + web_tables_sql()
+        + ") ORDER BY table_idx, row_idx, col_idx"
+    ).fetchall()
+    exp = []
+    for ti, tbl in enumerate(tables):
+        for ri, row in enumerate(tbl):
+            for ci, (h, n) in enumerate(row):
+                exp.append((1, ti, ri, ci, h, " ".join(["w"] * n)))
+    assert got == exp

@@ -2888,6 +2888,25 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(_docs(spark, sf_dir), _MIX_WEIGHTS)
 
 
+def _q_extract_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composition: jusText main-content extraction feeds the
+    WebDataset shard manifest — pages → good-block text → byte sizes →
+    two-phase prefix-sum shard assignment, one composed plan (the
+    extract-then-export tail every production crawl run ends with)."""
+    from docling_plus_spark.operators.boilerplate import main_content
+    from docling_plus_spark.operators.packing import shard_manifest
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_BP_HTML_SPARK).alias("html")
+    )
+    mc = main_content(d)
+    sized = mc.select(
+        F.col("id").alias("doc_id"),
+        F.length("main_text").alias("n_bytes"),
+    )
+    return shard_manifest(sized, target_bytes=32768, nbytes_col="n_bytes")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over synth web_pages from sf0.001 documents."""
     pages = synth_pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -2934,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "ann_recall": _q_ann_recall,
         "kn_perplexity": _q_kn_perplexity,
+        "extract_shard_plan": _q_extract_shard_plan,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -3936,7 +3956,19 @@ FROM media
         "mixture_plan": _mixture_plan_oracle(),
         "ann_recall": _ann_recall_oracle(),
         "kn_perplexity": _kn_perplexity_oracle(),
+        "extract_shard_plan": _extract_shard_plan_oracle(),
     }
+
+
+def _extract_shard_plan_oracle() -> str:
+    from docling_plus_spark.operators.boilerplate import main_content_sql
+    from docling_plus_spark.operators.packing import shard_manifest_sql
+
+    mc = main_content_sql("doc_id", _BP_HTML_SQL, "documents")
+    inner = shard_manifest_sql(32768, "id", "length(main_text)", "mc")
+    # merge the two WITH chains (DuckDB rejects nested top-level WITH)
+    inner = inner.replace("\nWITH ", "", 1)
+    return f"WITH mc AS ({mc}),\n{inner}"
 
 
 def _kn_perplexity_oracle() -> str:

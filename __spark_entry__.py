@@ -571,6 +571,21 @@ def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_nll(_docs(spark, sf_dir))
 
 
+def _q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/ann.py:bitext_mine —
+    Artetxe & Schwenk 2019 / CCMatrix): mutual-top-1 cross-lingual
+    pairs by margin score over a synthetic two-language split of the
+    embeddings table."""
+    from docling_plus_spark.operators.ann import bitext_mine
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        "embedding",
+    )
+    return bitext_mine(emb, k=4, tau=1.0)
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (2 Lloyd rounds, deterministic
     lowest-id seeding): broadcast assignment + tiny (cluster, dim)
@@ -2954,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "kn_perplexity": _q_kn_perplexity,
         "extract_shard_plan": _q_extract_shard_plan,
+        "bitext_mine": _q_bitext_mine,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -3957,7 +3973,18 @@ FROM media
         "ann_recall": _ann_recall_oracle(),
         "kn_perplexity": _kn_perplexity_oracle(),
         "extract_shard_plan": _extract_shard_plan_oracle(),
+        "bitext_mine": _bitext_mine_oracle(),
     }
+
+
+def _bitext_mine_oracle() -> str:
+    from docling_plus_spark.operators.ann import bitext_mine_sql
+
+    return bitext_mine_sql(
+        k=4,
+        tau=1.0,
+        lang_expr="CASE WHEN vec_id % 2 = 0 THEN 'en' ELSE 'de' END",
+    )
 
 
 def _extract_shard_plan_oracle() -> str:

@@ -304,3 +304,153 @@ def ann_recall(
             F.round(F.col("n_hits") / F.col("n_true"), 6).alias("recall"),
         )
     )
+
+
+def bitext_mine(
+    emb: DataFrame,
+    k: int = 4,
+    tau: float = 1.0,
+    id_col: str = "vec_id",
+    lang_col: str = "lang",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine, margin) — margin-based bitext mining
+    (Artetxe & Schwenk 2019; the CCMatrix/CCAligned recipe): mine
+    sentence pairs across two languages whose *margin-scored*
+    similarity beats ``tau``, keeping only mutual top-1 matches.
+
+        margin(x, y) = cos(x, y) /
+            ((avg_k cosNN_B(x) + avg_k cosNN_A(y)) / 2)
+
+    The margin denominator (each side's mean cosine to its k nearest
+    cross-lingual neighbours) cancels hubness — the failure mode of
+    raw-cosine mining. ``id_a`` is the lexicographically first
+    language's side.
+
+    Scale shape: this is the labeled brute baseline (all cross-lingual
+    pairs form; fine for the sampled evaluation slice) — production
+    swaps the pair generation for the IVF/LSH candidate paths in this
+    module, which changes recall, not the margin/mutual-top-1 logic.
+    All reductions are id-keyed aggregates over (id, cosine) pairs.
+    """
+    langs = [
+        r[0]
+        for r in emb.select(F.col(lang_col)).distinct().orderBy(lang_col).collect()
+    ]
+    if len(langs) != 2:
+        raise ValueError(f"bitext_mine needs exactly 2 languages, got {langs}")
+    la, lb = langs
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        unit_vec(F.col(vec_col).cast("array<double>")).alias("uemb"),
+    )
+    a = base.filter(F.col("lang") == la).select(
+        F.col("id").alias("id_a"), F.col("uemb").alias("emb_a")
+    )
+    b = base.filter(F.col("lang") == lb).select(
+        F.col("id").alias("id_b"), F.col("uemb").alias("emb_b")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)  # feeds kNN means both ways + scoring
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
+    knn_a = (
+        pairs.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= k)
+        .groupBy("id_a")
+        .agg(F.avg("cosine").alias("mean_a"))
+    )
+    knn_b = (
+        pairs.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= k)
+        .groupBy("id_b")
+        .agg(F.avg("cosine").alias("mean_b"))
+    )
+    scored = (
+        pairs.join(knn_a, "id_a")
+        .join(knn_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            F.round(
+                F.col("cosine")
+                / ((F.col("mean_a") + F.col("mean_b")) / 2),
+                6,
+            ).alias("margin"),
+        )
+    )
+    wma = Window.partitionBy("id_a").orderBy(F.desc("margin"), F.asc("id_b"))
+    wmb = Window.partitionBy("id_b").orderBy(F.desc("margin"), F.asc("id_a"))
+    return (
+        scored.withColumn("rka", F.row_number().over(wma))
+        .withColumn("rkb", F.row_number().over(wmb))
+        .filter((F.col("rka") == 1) & (F.col("rkb") == 1))
+        .filter(F.col("margin") >= tau)
+        .select("id_a", "id_b", "cosine", "margin")
+    )
+
+
+def bitext_mine_sql(
+    k: int = 4,
+    tau: float = 1.0,
+    id_expr: str = "vec_id",
+    lang_expr: str = "lang",
+    vec_expr: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`bitext_mine` (two-language corpus)."""
+    unit = (
+        f"list_transform({vec_expr}::double[], x -> x / "
+        f"sqrt(list_dot_product({vec_expr}::double[], {vec_expr}::double[])))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id, {lang_expr} AS lang, {unit} AS uemb FROM {table}
+),
+langs AS (SELECT lang, row_number() OVER (ORDER BY lang) AS lr
+          FROM (SELECT DISTINCT lang FROM base)),
+a AS (SELECT id AS id_a, uemb AS emb_a FROM base
+      WHERE lang = (SELECT lang FROM langs WHERE lr = 1)),
+b AS (SELECT id AS id_b, uemb AS emb_b FROM base
+      WHERE lang = (SELECT lang FROM langs WHERE lr = 2)),
+pairs AS (
+  SELECT id_a, id_b, round(list_dot_product(emb_a, emb_b), 4) AS cosine
+  FROM a CROSS JOIN b
+),
+knn_a AS (
+  SELECT id_a, avg(cosine) AS mean_a FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+        ORDER BY cosine DESC, id_b) AS rk FROM pairs
+  ) WHERE rk <= {k} GROUP BY id_a
+),
+knn_b AS (
+  SELECT id_b, avg(cosine) AS mean_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_b
+        ORDER BY cosine DESC, id_a) AS rk FROM pairs
+  ) WHERE rk <= {k} GROUP BY id_b
+),
+scored AS (
+  SELECT p.id_a, p.id_b, p.cosine,
+         round(p.cosine / ((ka.mean_a + kb.mean_b) / 2), 6) AS margin
+  FROM pairs p JOIN knn_a ka USING (id_a) JOIN knn_b kb USING (id_b)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id_a
+             ORDER BY margin DESC, id_b) AS rka,
+         row_number() OVER (PARTITION BY id_b
+             ORDER BY margin DESC, id_a) AS rkb
+  FROM scored
+)
+SELECT id_a, id_b, cosine, margin FROM ranked
+WHERE rka = 1 AND rkb = 1 AND margin >= {tau!r}
+"""

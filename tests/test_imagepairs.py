@@ -157,3 +157,36 @@ def test_curation_mixture_stage(spark):
              _st_mixture(df, args).groupBy("source")
              .agg(F.count("*").alias("n")).collect()}
     assert surv == surv2
+
+
+def test_bitext_mine_recovers_planted_pairs(spark):
+    """Planted translations: de vector i = en vector i + tiny noise ->
+    mutual-top-1 margin mining must recover exactly the i<->i pairs."""
+    import math
+
+    from docling_plus_spark.operators.ann import bitext_mine
+
+    def vec(i, flip):
+        base = [math.sin(i * 1.7 + d) for d in range(8)]
+        if flip:
+            base[0] += 0.01  # tiny noise on the translation side
+        return base
+
+    rows = [(i, "en", vec(i, False)) for i in range(10)] + [
+        (100 + i, "de", vec(i, True)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, lang string, embedding array<double>")
+    out = bitext_mine(df, k=3, tau=1.0).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert got == {(100 + i, i) for i in range(10)}  # 'de' < 'en' lexicographically
+    assert all(r.margin > 1.0 for r in out)
+
+
+def test_bitext_mine_rejects_non_two_lang(spark):
+    from docling_plus_spark.operators.ann import bitext_mine
+
+    df = spark.createDataFrame(
+        [(1, "en", [1.0, 0.0])], "vec_id long, lang string, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        bitext_mine(df)

@@ -150,3 +150,37 @@ def test_recrawl_schedule_actions(spark):
         "u3": "unlisted",  # crawled, gone from sitemap
         "u4": "new",       # listed, never crawled
     }
+
+
+def test_round4_operators_empty_corpus(spark):
+    """Empty input -> empty output, never an error (the same
+    zero-row discipline the r3 batch locked for the LSH/merge ops)."""
+    from docling_plus_spark.operators.boilerplate import (
+        boilerplate_blocks,
+        main_content,
+    )
+    from docling_plus_spark.operators.imagepairs import image_alt_pairs
+    from docling_plus_spark.operators.packing import shard_manifest
+    from docling_plus_spark.operators.robots import recrawl_schedule
+    from docling_plus_spark.operators.webtables import (
+        web_table_shapes,
+        web_tables,
+    )
+    from docling_plus_spark.operators.textstats import kn_bigram_nll
+
+    empty_doc = spark.createDataFrame([], "doc_id long, html string")
+    assert boilerplate_blocks(empty_doc).count() == 0
+    assert main_content(empty_doc).count() == 0
+    assert web_tables(empty_doc).count() == 0
+    assert web_table_shapes(empty_doc).count() == 0
+    empty_page = spark.createDataFrame(
+        [], "doc_id long, url string, html string"
+    )
+    assert image_alt_pairs(empty_page).count() == 0
+    empty_sized = spark.createDataFrame([], "doc_id long, n_bytes long")
+    assert shard_manifest(empty_sized, 100).count() == 0
+    ec = spark.createDataFrame([], "url string, fetched_ts long")
+    es = spark.createDataFrame([], "loc string, lastmod_ts long")
+    assert recrawl_schedule(ec, es).count() == 0
+    et = spark.createDataFrame([], "doc_id long, text string")
+    assert kn_bigram_nll(et).count() == 0

@@ -586,6 +586,52 @@ def _q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_mine(emb, k=4, tau=1.0)
 
 
+def _q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style multi-filter gate as ONE composed plan: Gopher
+    heuristics AND the hashed linear classifier AND the KN perplexity
+    (exact per-corpus 90th-percentile cut, (score, id) total order) —
+    a doc survives only if all three agree. The ensemble every modern
+    curation pipeline actually ships."""
+    from docling_plus_spark.operators.quality import (
+        gopher_signals,
+        hash_classifier,
+    )
+    from docling_plus_spark.operators.textstats import kn_bigram_nll
+    from pyspark.sql.window import Window as W
+
+    d = _docs(spark, sf_dir)
+    g = gopher_signals(d).select("id", "gopher_pass")
+    c = hash_classifier(d).select("id", F.col("score").alias("clf_score"))
+    k = kn_bigram_nll(d).select("id", "mean_nll")
+    n = W.partitionBy()
+    ranked = k.withColumn(
+        "nll_rank",
+        F.row_number().over(W.orderBy("mean_nll", "id")),
+    ).withColumn("n_docs", F.count("*").over(n))
+    k2 = ranked.select(
+        "id",
+        "mean_nll",
+        (F.col("nll_rank") <= F.ceil(F.col("n_docs") * 0.9)).alias(
+            "nll_pass"
+        ),
+    )
+    return (
+        g.join(c, "id")
+        .join(k2, "id")
+        .select(
+            "id",
+            "gopher_pass",
+            F.round("clf_score", 6).alias("clf_score"),
+            "mean_nll",
+            (
+                F.col("gopher_pass")
+                & (F.col("clf_score") >= 0.5)
+                & F.col("nll_pass")
+            ).alias("keep"),
+        )
+    )
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (2 Lloyd rounds, deterministic
     lowest-id seeding): broadcast assignment + tiny (cluster, dim)
@@ -2970,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": _q_kn_perplexity,
         "extract_shard_plan": _q_extract_shard_plan,
         "bitext_mine": _q_bitext_mine,
+        "quality_ensemble": _q_quality_ensemble,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -3974,7 +4021,33 @@ FROM media
         "kn_perplexity": _kn_perplexity_oracle(),
         "extract_shard_plan": _extract_shard_plan_oracle(),
         "bitext_mine": _bitext_mine_oracle(),
+        "quality_ensemble": _quality_ensemble_oracle(),
     }
+
+
+def _quality_ensemble_oracle() -> str:
+    from docling_plus_spark.operators.quality import (
+        gopher_signals_sql,
+        hash_classifier_sql,
+    )
+    from docling_plus_spark.operators.textstats import kn_bigram_nll_sql
+
+    g = gopher_signals_sql("doc_id", "text")
+    c = hash_classifier_sql("doc_id", "text")
+    k = kn_bigram_nll_sql("doc_id", "text")
+    return f"""
+WITH g AS ({g}), c AS ({c}), k AS ({k}),
+ranked AS (
+  SELECT id, mean_nll,
+         row_number() OVER (ORDER BY mean_nll, id) AS nll_rank,
+         count(*) OVER () AS n_docs
+  FROM k
+)
+SELECT g.id, g.gopher_pass, round(c.score, 6) AS clf_score, r.mean_nll,
+       (g.gopher_pass AND c.score >= 0.5
+        AND r.nll_rank <= ceil(r.n_docs * 0.9)) AS keep
+FROM g JOIN c ON g.id = c.id JOIN ranked r ON g.id = r.id
+"""
 
 
 def _bitext_mine_oracle() -> str:

@@ -214,10 +214,14 @@ def cosine_topk_ivf(
     it ~sqrt(corpus)/target_list_len in production (10⁴-10⁵ lists at
     10⁹ vectors), exactly as FAISS does; the defaults here are test-scale.
     """
+    # pin base (feeds centroid seeding AND assignment) and, below,
+    # the ranked assignment (feeds the data AND probe sides): unpinned,
+    # the normalize/assign lineage re-executed per consumer — 4 corpus
+    # scans in the runtime plan
     base = emb.select(
         F.col(id_col).alias("id"),
         unit_vec(F.col(vec_col).cast("array<double>")).alias("emb"),
-    )
+    ).localCheckpoint(eager=True)
     w_cent = Window.orderBy("id")
     cents = (
         base.orderBy("id")
@@ -234,7 +238,9 @@ def cosine_topk_ivf(
         F.round(_dot(F.col("emb"), F.col("cemb")), 4).alias("ccos"),
     )
     w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("list_id"))
-    ranked = scored.withColumn("crk", F.row_number().over(w_assign))
+    ranked = scored.withColumn(
+        "crk", F.row_number().over(w_assign)
+    ).localCheckpoint(eager=True)
     data = ranked.filter(F.col("crk") == 1).select("list_id", "id", "emb")
     probe = ranked.filter(F.col("crk") <= nprobe).select("list_id", "id", "emb")
     pairs = (
@@ -284,8 +290,13 @@ def ann_recall(
     passed in `emb`), exactly how FAISS benchmarks do it; the join
     back is id-keyed on (query, neighbour) int pairs only.
     """
-    truth = cosine_topk_bruteforce(emb, k, id_col, vec_col).select(
-        "id_a", "id_b"
+    # pin the ground truth: the O(n²) brute lineage feeds BOTH the hits
+    # join and the per-query totals — without the pin it re-executes
+    # per consumer (the exact re-run class test_scan_discipline locks)
+    truth = (
+        cosine_topk_bruteforce(emb, k, id_col, vec_col)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     approx = cosine_topk_ivf(emb, k, n_lists, nprobe, id_col, vec_col).select(
         "id_a", F.col("id_b").alias("id_b_ivf")
@@ -418,6 +429,11 @@ WITH base AS (
 ),
 langs AS (SELECT lang, row_number() OVER (ORDER BY lang) AS lr
           FROM (SELECT DISTINCT lang FROM base)),
+-- twin of the Spark side's ValueError: more/fewer than 2 languages is
+-- a contract violation, not a silent lexicographic-first-two mining
+guard AS (SELECT CASE WHEN count(*) = 2 THEN 1
+                 ELSE error('bitext_mine: need exactly 2 languages')
+                 END AS ok FROM langs),
 a AS (SELECT id AS id_a, uemb AS emb_a FROM base
       WHERE lang = (SELECT lang FROM langs WHERE lr = 1)),
 b AS (SELECT id AS id_b, uemb AS emb_b FROM base
@@ -451,6 +467,6 @@ ranked AS (
              ORDER BY margin DESC, id_a) AS rkb
   FROM scored
 )
-SELECT id_a, id_b, cosine, margin FROM ranked
-WHERE rka = 1 AND rkb = 1 AND margin >= {tau!r}
+SELECT id_a, id_b, cosine, margin FROM ranked, guard
+WHERE guard.ok = 1 AND rka = 1 AND rkb = 1 AND margin >= {tau!r}
 """

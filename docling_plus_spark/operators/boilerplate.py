@@ -76,11 +76,21 @@ def boilerplate_blocks(
         F.col(id_col).alias("id"),
         F.posexplode(_block_features(F.col(html_col))).alias("i", "chunk"),
     )
-    # anchor text chars (inline <a> survives the block split)
+    # anchor text chars (inline <a> survives the block split),
+    # normalized EXACTLY like the block text (tags → space, whitespace
+    # collapsed, trimmed) so link_density is a true subset ratio ≤ 1 —
+    # raw anchor lengths would over-weight whitespace-padded anchors
     link_chars = F.aggregate(
         F.expr(r"regexp_extract_all(chunk, '<a[^>]*>(.*?)</a>', 1)"),
         F.lit(0),
-        lambda acc, s: acc + F.length(F.regexp_replace(s, "<[^>]*>", "")),
+        lambda acc, s: acc
+        + F.length(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(s, "<[^>]*>", " "), r"\s+", " "
+                )
+            )
+        ),
     )
     text = F.trim(F.regexp_replace(F.col("chunk"), "<[^>]*>", " "))
     text = F.regexp_replace(text, r"\s+", " ")
@@ -165,7 +175,8 @@ feats AS (
          length(t) AS n_chars,
          list_sum(list_transform(
            regexp_extract_all(chunk, '<a[^>]*>(.*?)</a>', 1),
-           s -> length(regexp_replace(s, '<[^>]*>', '', 'g'))
+           s -> length(trim(regexp_replace(
+                regexp_replace(s, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))
          )) AS link_chars,
          len(w) AS n_words,
          len(list_filter(w, x -> x IN ({stop_list}))) AS n_stop
@@ -229,10 +240,16 @@ def main_content(
     blocks = boilerplate_blocks(df, id_col, html_col)
     # re-derive block text (features-only table avoids shuffling text;
     # here the consumer explicitly asks for it, so re-split and join on
-    # (id, rank) — both sides partition on id)
+    # (id, rank) — both sides partition on id). The split is the SAME
+    # case-insensitive tag regex over the ORIGINAL html, so extracted
+    # main content keeps its case (lowercasing is a classification
+    # detail, not an output transform); block positions align because
+    # the split boundaries and the empty filter are case-invariant.
     src = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(_block_features(F.col(html_col))).alias("i", "chunk"),
+        F.posexplode(
+            F.split(F.col(html_col), "(?i)" + _BLOCK_TAG_RE)
+        ).alias("i", "chunk"),
     )
     text = F.trim(
         F.regexp_replace(
@@ -281,7 +298,7 @@ chunks AS (
   SELECT {id_expr} AS id, i - 1 AS i, ch[i] AS chunk
   FROM (
     SELECT {id_expr},
-           string_split_regex(lower({html_expr}), '{_BLOCK_TAG_RE}') AS ch
+           string_split_regex({html_expr}, '(?i){_BLOCK_TAG_RE}') AS ch
     FROM {table}
   ), unnest(range(1, len(ch) + 1)) AS u(i)
 ),

@@ -56,7 +56,9 @@ def image_alt_pairs(
             F.regexp_extract(F.col("tag"), _ALT_RE, 1), r"\s+", " "
         )
     )
-    origin = F.regexp_extract(F.col("page_url"), r"^([a-z]+://[^/]+)", 1)
+    # (?i) on the origin/absolute checks: scheme case must not decide
+    # between the absolute branch and a failed origin extraction
+    origin = F.regexp_extract(F.col("page_url"), r"(?i)^([a-z]+://[^/]+)", 1)
     base_dir = F.regexp_replace(F.col("page_url"), r"[^/]*$", "")
     resolved = (
         F.when(src.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*://"), src)
@@ -116,7 +118,7 @@ kept AS (
                 THEN src
               WHEN starts_with(src, '//') THEN 'https:' || src
               WHEN starts_with(src, '/')
-                THEN regexp_extract(page_url, '^([a-z]+://[^/]+)', 1) || src
+                THEN regexp_extract(page_url, '(?i)^([a-z]+://[^/]+)', 1) || src
               ELSE regexp_replace(page_url, '[^/]*$', '') || src
          END AS image_url,
          alt_text
@@ -140,13 +142,16 @@ def mixture_plan(
     """(source, n_docs, n_tokens, actual_frac, target_frac,
     sample_rate, repeat_epochs) — the training-mixture plan.
 
-    The DoReMi/Pile-style mixing step: given target source weights,
-    compute each source's actual token share and what to do about the
-    gap — downsample (``sample_rate`` < 1) over-represented sources,
-    repeat (``repeat_epochs`` > 1, the ceil of the required
-    oversampling) under-represented ones. The scaling reference is the
-    largest target/actual ratio ≤ 1 source (kept whole); everything is
-    relative to it, so at least one source has sample_rate exactly 1.0.
+    The DoReMi/Pile-style mixing step, downsample-only (no data
+    reuse): given target source weights, scale every source relative
+    to the MOST under-represented one (largest target/actual ratio),
+    which is kept whole — so at least one source has ``sample_rate``
+    exactly 1.0, every other rate is < 1, and the sampled corpus hits
+    the target mixture with zero repetition. ``repeat_epochs`` is the
+    complementary budget statistic: ``ceil(target/actual)`` = how many
+    epochs over source i a trainer needs if the token budget instead
+    demands the target shares at FULL corpus size (> 1 exactly for the
+    under-represented sources; 0 for untargeted ones).
 
     Scale shape: one groupBy(source) with map-side partial sums —
     source cardinality is tiny; the plan is a broadcast-sized table the
@@ -170,10 +175,10 @@ def mixture_plan(
         "target_frac", F.coalesce(wmap[F.col("source")], F.lit(0.0))
     )
     # ratio of target to actual share; the reference source is the one
-    # with the largest ratio (most under-represented): it is kept whole
-    # and possibly repeated, everything else downsampled relative to it.
-    # Ratios use the UNROUNDED share (the twin mirrors this); rounding
-    # is output-only.
+    # with the largest ratio (most under-represented): it is kept whole,
+    # everything else downsampled relative to it (repeat_epochs reports
+    # the full-budget epoch count separately). Ratios use the UNROUNDED
+    # share (the twin mirrors this); rounding is output-only.
     ratio = F.col("target_frac") / F.greatest(F.col("share"), F.lit(1e-12))
     enriched = enriched.withColumn("ratio", ratio).withColumn(
         "max_ratio", F.max("ratio").over(wall)
@@ -186,7 +191,7 @@ def mixture_plan(
         F.round("share", 6).alias("actual_frac"),
         F.round("target_frac", 6).alias("target_frac"),
         F.round(F.least(rel, F.lit(1.0)), 6).alias("sample_rate"),
-        F.ceil(rel).cast("int").alias("repeat_epochs"),
+        F.ceil(ratio).cast("int").alias("repeat_epochs"),
     )
 
 
@@ -222,6 +227,6 @@ enr AS (
 SELECT source, n_docs, n_tokens, actual_frac,
        round(target_frac, 6) AS target_frac,
        round(least(ratio / max(ratio) OVER (), 1.0), 6) AS sample_rate,
-       ceil(ratio / max(ratio) OVER ())::int AS repeat_epochs
+       ceil(ratio)::int AS repeat_epochs
 FROM enr
 """

@@ -258,11 +258,14 @@ def robots_sitemaps(
     directive lives outside groups and is case-insensitive): one row
     per (host, pos, sitemap_url). This is how a crawler discovers the
     sitemap set that :func:`sitemap_urls` then expands."""
-    # Strip \r first (RFC 9309 allows CR / CRLF / LF): Java multiline $
-    # matches before \r\n but RE2's only before \n, so anchoring over
-    # raw CRLF text would make the Spark and DuckDB twins diverge.
+    # Normalize CR[LF] to LF first (RFC 9309 allows CR / CRLF / LF —
+    # same rule as robots_rules): Java multiline $ matches before \r\n
+    # but RE2's only before \n, so anchoring over raw CRLF text would
+    # make the twins diverge; and bare CR must become a line BREAK, not
+    # vanish (stripping \r would merge adjacent lines and silently lose
+    # directives).
     locs = F.regexp_extract_all(
-        F.regexp_replace(F.col(robots_col), "\r", ""),
+        F.regexp_replace(F.col(robots_col), "\r\n?", "\n"),
         F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"),
         1,
     )
@@ -279,7 +282,7 @@ def robots_sitemaps_sql(host_expr: str, robots_expr: str, table: str) -> str:
 SELECT host, (i - 1)::int AS pos, ls[i] AS sitemap_url
 FROM (
   SELECT {host_expr} AS host,
-         regexp_extract_all(regexp_replace({robots_expr}, '\r', '', 'g'),
+         regexp_extract_all(regexp_replace({robots_expr}, '\r\n?', chr(10), 'g'),
            '(?m)^[ \t]*(?i:sitemap)[ \t]*:[ \t]*(\S+)[ \t]*$', 1) AS ls
   FROM {table}
 ), unnest(range(1, len(ls) + 1)) AS t(i)

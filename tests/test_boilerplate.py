@@ -94,7 +94,9 @@ def test_main_content_joins_good_blocks_in_order(spark):
     df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
     row = main_content(df).collect()[0]
     assert row.n_good == 3 and row.n_bad == 2
-    assert row.main_text.startswith("the data is in the table")
+    # extracted content keeps ORIGINAL case (lowercasing is a
+    # classification detail only)
+    assert row.main_text.startswith("The data is in the table")
     assert row.main_text.split("\n")[1] == "short note"
 
 

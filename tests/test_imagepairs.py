@@ -107,10 +107,12 @@ def test_mixture_plan_semantics(spark):
     }
     b = out["src_b"]
     assert b.sample_rate == 1.0          # reference source kept whole
-    assert b.repeat_epochs == 1
+    # ratio 0.5/0.2 = 2.5 -> 3 epochs needed at a full-corpus budget
+    assert b.repeat_epochs == 3
     a = out["src_a"]
     # target/actual: a = 0.3/0.6 = 0.5; b = 0.5/0.2 = 2.5 → rel a = 0.2
     assert a.sample_rate == pytest.approx(0.2)
+    assert a.repeat_epochs == 1          # over-represented: one pass
     c = out["src_c"]
     assert c.sample_rate == 0.0 and c.repeat_epochs == 0
 

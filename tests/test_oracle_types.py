@@ -49,21 +49,27 @@ def _decimal_fields(schema: pa.Schema) -> list[str]:
     return bad
 
 
-def test_no_oracle_emits_decimal_types(con):
-    oracles = e.oracle_sql()
-    assert oracles, "oracle_sql() returned nothing"
-    offenders: dict[str, list[str]] = {}
+@pytest.fixture(scope="module")
+def oracle_schemas(con):
+    """name -> arrow schema for every oracle (each executed once)."""
+    out: dict[str, pa.Schema] = {}
     errors: dict[str, str] = {}
-    for name, sql in oracles.items():
+    for name, sql in e.oracle_sql().items():
         try:
-            tbl = con.execute(sql).arrow()
+            out[name] = con.execute(sql).arrow().schema
         except Exception as ex:  # noqa: BLE001
             errors[name] = repr(ex)[:200]
-            continue
-        bad = _decimal_fields(tbl.schema)
-        if bad:
-            offenders[name] = bad
     assert not errors, f"oracle SQL failed to execute: {errors}"
+    return out
+
+
+def test_no_oracle_emits_decimal_types(oracle_schemas):
+    assert oracle_schemas, "oracle_sql() returned nothing"
+    offenders = {
+        name: bad
+        for name, schema in oracle_schemas.items()
+        if (bad := _decimal_fields(schema))
+    }
     assert not offenders, (
         "DuckDB oracles returning DECIMAL columns (will hash-mismatch "
         f"Spark's int64/double in the driver gate): {offenders} — add an "
@@ -71,14 +77,25 @@ def test_no_oracle_emits_decimal_types(con):
     )
 
 
-def test_every_query_has_matching_column_names(con):
+def test_every_query_has_matching_column_names(oracle_schemas):
     """The driver sorts columns by NAME before hashing — a name drift
-    between the Spark query and its oracle is silent row-value
-    garbage. Lock name-set equality at the schema level (cheap: Spark
-    side uses the cached schema from a LIMIT-0 style plan only when
-    available; here we compare against the oracle's Arrow names via
-    the registry's own declared contract)."""
+    between the Spark query and its oracle is silent row-value garbage
+    (identical values land under different sort positions). Compare
+    the Spark plan's column names (analysis only, no action) against
+    each oracle's Arrow schema names."""
+    from docling_plus_spark.plans import build_session
+
     oracles = e.oracle_sql()
     qs = e.queries()
     missing = sorted(set(oracles) - set(qs))
     assert not missing, f"oracle_sql entries without queries(): {missing}"
+
+    spark = build_session("local[2]", shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    drifts: dict[str, tuple] = {}
+    for name, schema in oracle_schemas.items():
+        spark_cols = sorted(qs[name](spark, SF_DIR).columns)
+        oracle_cols = sorted(schema.names)
+        if spark_cols != oracle_cols:
+            drifts[name] = (spark_cols, oracle_cols)
+    assert not drifts, f"Spark/oracle column-name drift: {drifts}"

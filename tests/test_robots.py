@@ -188,3 +188,31 @@ def test_robots_sitemaps_crlf_twin_parity(spark):
         robots_sitemaps_sql("host", "robots_txt", "r")
     ).fetchall()
     assert sorted(oracle) == sorted(got)
+
+
+def test_robots_sitemaps_bare_cr_twin_parity(spark):
+    """Bare-CR endings (RFC 9309 allows CR alone) must act as line
+    BREAKS — stripping \\r would merge lines and lose the directive."""
+    import duckdb
+
+    from docling_plus_spark.operators.robots import (
+        robots_sitemaps,
+        robots_sitemaps_sql,
+    )
+
+    body = "Sitemap: https://h.test/s.xml\rUser-agent: *\rDisallow: /x\r"
+    df = spark.createDataFrame(
+        [("h.test", body)], "host string, robots_txt string"
+    )
+    got = [
+        (r.host, r.pos, r.sitemap_url) for r in robots_sitemaps(df).collect()
+    ]
+    assert got == [("h.test", 0, "https://h.test/s.xml")]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE r AS SELECT 'h.test' AS host, ? AS robots_txt", [body]
+    )
+    oracle = con.execute(
+        robots_sitemaps_sql("host", "robots_txt", "r")
+    ).fetchall()
+    assert oracle == got

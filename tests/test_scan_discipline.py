@@ -47,6 +47,8 @@ BOUNDS = [
     ("ccnet_buckets", 1, 0),
     ("semdedup", 0, 0),              # base + final assignment pinned
     ("ivfpq_topk", 0, 2),            # base + subvector split pinned
+    ("ann_recall", 0, 0),            # brute truth + ivf internals pinned
+    ("ann_topk_ivf", 0, 0),          # base + ranked assignment pinned
 ]
 
 

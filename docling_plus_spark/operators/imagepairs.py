@@ -39,6 +39,10 @@ def image_alt_pairs(
     the page directory. Images without ``src`` or with alt text
     shorter than ``MIN_ALT_CHARS`` (LAION's gate) are dropped;
     ``img_idx`` is the image's position among the page's kept images.
+
+    Resolution is deliberately local (not links.py's ``_resolve_href``)
+    so this operator and its SQL twin stay a verbatim pair — the two
+    resolvers agree on semantics; keep them in sync if either changes.
     """
     tags = df.select(
         F.col(id_col).alias("id"),

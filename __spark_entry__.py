@@ -782,6 +782,48 @@ def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_quality_wilson(labeled)
 
 
+def _q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction from robots.txt (operators/robots.py:
+    robots_crawl_delay): the * group's politeness budget per host —
+    group-tracked fold, last-valid-wins, non-numeric ignored. Synth
+    mixes delay in the * group (doc%3==0), in a non-* group only
+    (doc%3==1, must yield NULL), and a non-numeric value (doc%3==2)."""
+    from docling_plus_spark.operators.robots import robots_crawl_delay
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = F.concat(
+        F.lit("h"), F.col("doc_id").cast("string"), F.lit(".test")
+    )
+    nl = F.lit("\n")
+    body = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *"), nl,
+                F.lit("Crawl-delay: "),
+                ((F.col("doc_id") % 9) + 1).cast("string"),
+                nl, F.lit("Disallow: /x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("User-agent: fastbot"), nl,
+                F.lit("Crawl-delay: 9"), nl,
+                F.lit("User-agent: *"), nl, F.lit("Disallow: /"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("User-agent: *"), nl, F.lit("Crawl-delay: soon")
+            )
+        )
+    )
+    return robots_crawl_delay(
+        d.select(host.alias("host"), body.alias("robots_txt"))
+    )
+
+
 def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap: directive discovery from robots.txt (RFC 9309 §2.3,
     case-insensitive, group-independent; operators/robots.py:
@@ -3017,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_shard_plan": _q_extract_shard_plan,
         "bitext_mine": _q_bitext_mine,
         "quality_ensemble": _q_quality_ensemble,
+        "robots_crawl_delay": _q_robots_crawl_delay,
         # -- (4) filler: r3-green batch (second driver confirmation) --
         "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
         "winnow_pairs": _q_winnow_pairs,
@@ -4022,7 +4065,25 @@ FROM media
         "extract_shard_plan": _extract_shard_plan_oracle(),
         "bitext_mine": _bitext_mine_oracle(),
         "quality_ensemble": _quality_ensemble_oracle(),
+        "robots_crawl_delay": _robots_crawl_delay_oracle(),
     }
+
+
+def _robots_crawl_delay_oracle() -> str:
+    from docling_plus_spark.operators.robots import robots_crawl_delay_sql
+
+    body = (
+        "(CASE WHEN doc_id % 3 = 0 THEN "
+        "'User-agent: *' || chr(10) || 'Crawl-delay: ' || "
+        "((doc_id % 9) + 1)::varchar || chr(10) || 'Disallow: /x' "
+        "WHEN doc_id % 3 = 1 THEN "
+        "'User-agent: fastbot' || chr(10) || 'Crawl-delay: 9' || chr(10) "
+        "|| 'User-agent: *' || chr(10) || 'Disallow: /' "
+        "ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: soon' END)"
+    )
+    return robots_crawl_delay_sql(
+        "'h' || doc_id::varchar || '.test'", body, "documents"
+    )
 
 
 def _quality_ensemble_oracle() -> str:

@@ -342,3 +342,132 @@ SELECT coalesce(c.url, s.url) AS url,
        c.fetched_ts, s.lastmod_ts
 FROM ({crawled_sql}) c FULL OUTER JOIN ({sitemap_sql}) s USING (url)
 """
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay) — the ``*`` group's Crawl-delay seconds.
+
+    Crawl-delay is not in RFC 9309 but is honored by most major
+    crawlers; it is the per-host politeness input
+    :func:`..operators.links.frontier_schedule` budgets against. The
+    same group-tracking fold as :func:`robots_rules` (a Crawl-delay
+    line belongs to the group whose User-agent run precedes it); the
+    LAST valid directive in the ``*`` group wins, non-numeric values
+    are ignored, hosts without one get NULL.
+    """
+    raw = F.split(F.regexp_replace(F.col(body_col), "\r\n?", "\n"), "\n")
+    lines = F.filter(
+        F.transform(raw, lambda l: F.trim(F.regexp_replace(l, "#.*$", ""))),
+        lambda l: l != "",
+    )
+    acc_t = "struct<active:boolean,in_agents:boolean,delay:double>"
+
+    def step(acc: Column, line: Column) -> Column:
+        name = _field(line)
+        value = F.trim(F.substr(line, F.instr(line, ":") + 1))
+        is_agent = name == "user-agent"
+        num = F.when(
+            value.rlike(r"^[0-9]+(\.[0-9]+)?$"), value.cast("double")
+        )
+        new_active = F.when(
+            is_agent & acc["in_agents"], acc["active"] | (value == "*")
+        ).when(is_agent, value == "*").otherwise(acc["active"])
+        new_delay = F.when(
+            (name == "crawl-delay") & acc["active"] & num.isNotNull(), num
+        ).otherwise(acc["delay"])
+        return F.struct(
+            new_active.alias("active"),
+            F.when(is_agent, F.lit(True))
+            .when(
+                name.isin("allow", "disallow", "crawl-delay"), F.lit(False)
+            )
+            .otherwise(acc["in_agents"])
+            .alias("in_agents"),
+            new_delay.alias("delay"),
+        )
+
+    init = F.struct(
+        F.lit(False).alias("active"),
+        F.lit(False).alias("in_agents"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+    folded = F.aggregate(lines, init.cast(acc_t), step)
+    return robots.select(
+        F.col(host_col).alias("host"), folded["delay"].alias("crawl_delay")
+    )
+
+
+def robots_crawl_delay_sql(
+    host_expr: str, robots_expr: str, table: str
+) -> str:
+    """DuckDB twin of :func:`robots_crawl_delay`.
+
+    NOT a list_reduce fold: DuckDB 1.0's list_reduce produces
+    cross-row-contaminated results when the reduced list is computed
+    from row expressions (verified: the same query returns different
+    values bare vs under a WHERE host = ... filter). The fold is
+    reformulated as window functions over the exploded lines, which is
+    exactly equivalent: an agent RUN is a maximal stretch of
+    user-agent lines (kind-0 lines do not break it, kind-2 lines do);
+    a crawl-delay line is active iff its current run contains ``*``;
+    last active valid delay wins.
+    """
+    body = f"regexp_replace({robots_expr}, '\r\n?', chr(10), 'g')"
+    lines = (
+        f"list_filter(list_transform(string_split({body}, chr(10)), "
+        f"l -> trim(regexp_replace(l, '#.*$', ''))), l -> l <> '')"
+    )
+    name = "lower(trim(split_part(l, ':', 1)))"
+    value = "trim(substr(l, strpos(l, ':') + 1))"
+    return f"""
+WITH hosts AS (
+  SELECT {host_expr} AS host, {lines} AS ls FROM {table}
+),
+lined AS (
+  SELECT host, i, ls[i] AS l
+  FROM hosts, unnest(range(1, len(ls) + 1)) AS t(i)
+),
+feat AS (
+  SELECT host, i,
+         CASE WHEN {name} = 'user-agent' THEN 1
+              WHEN {name} IN ('allow', 'disallow', 'crawl-delay') THEN 2
+              ELSE 0 END AS kind,
+         ({name} = 'user-agent' AND {value} = '*') AS star,
+         CASE WHEN {name} = 'crawl-delay'
+              AND regexp_matches({value}, '^[0-9]+(\.[0-9]+)?$')
+              THEN {value}::double END AS dly
+  FROM lined
+),
+prevk AS (
+  SELECT *,
+         coalesce(last_value(CASE WHEN kind <> 0 THEN kind END
+             IGNORE NULLS) OVER (PARTITION BY host ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2)
+           AS prev_nz
+  FROM feat
+),
+runs AS (
+  SELECT *,
+         sum(CASE WHEN kind = 1 AND prev_nz <> 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY i) AS run_id
+  FROM prevk
+),
+run_star AS (
+  SELECT host, run_id, bool_or(star) AS has_star
+  FROM runs WHERE kind = 1 GROUP BY host, run_id
+),
+active_delays AS (
+  SELECT r.host, r.i, r.dly
+  FROM runs r JOIN run_star s
+    ON r.host = s.host AND r.run_id = s.run_id
+  WHERE r.dly IS NOT NULL AND s.has_star
+)
+SELECT h.host, d.dly AS crawl_delay
+FROM hosts h LEFT JOIN (
+  SELECT host, max_by(dly, i) AS dly FROM active_delays GROUP BY host
+) d ON h.host = d.host
+"""

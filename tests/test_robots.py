@@ -216,3 +216,45 @@ def test_robots_sitemaps_bare_cr_twin_parity(spark):
         robots_sitemaps_sql("host", "robots_txt", "r")
     ).fetchall()
     assert oracle == got
+
+
+def test_crawl_delay_group_semantics_twin_parity(spark):
+    """Crawl-delay: * group only, last-valid-wins, non-numeric
+    ignored, agent runs extended across kind-0 lines, bare-CR bodies;
+    Spark fold vs the window-reformulated DuckDB twin (the list_reduce
+    fold form is AVOIDED: DuckDB 1.0 cross-row-contaminates reduces
+    over computed lists)."""
+    import duckdb
+
+    from docling_plus_spark.operators.robots import (
+        robots_crawl_delay,
+        robots_crawl_delay_sql,
+    )
+
+    bodies = [
+        ("h1", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"),
+        ("h2", "User-agent: bot\nCrawl-delay: 9\nUser-agent: *\nDisallow: /\n"),
+        ("h3", "User-agent: a\nUser-agent: *\nSitemap: http://x\nCrawl-delay: 1\n"),
+        ("h4", "User-agent: *\nCrawl-delay: fast\n"),
+        ("h5", "User-agent: *\rCrawl-delay: 3\r"),
+        ("h6", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4\n"),
+        ("h7", ""),
+        ("h8", "Crawl-delay: 5\nUser-agent: *\n"),  # delay before any group
+    ]
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got = sorted(
+        (r.host, r.crawl_delay) for r in robots_crawl_delay(df).collect()
+    )
+    assert got == [
+        ("h1", 2.5), ("h2", None), ("h3", 1.0), ("h4", None),
+        ("h5", 3.0), ("h6", 4.0), ("h7", None), ("h8", None),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO r VALUES (?, ?)", bodies)
+    oracle = sorted(
+        con.execute(
+            robots_crawl_delay_sql("host", "robots_txt", "r")
+        ).fetchall()
+    )
+    assert oracle == got

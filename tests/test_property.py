@@ -419,3 +419,58 @@ def test_web_tables_twin_matches_python_model_on_fuzz(tables):
             for ci, (h, n) in enumerate(row):
                 exp.append((1, ti, ri, ci, h, " ".join(["w"] * n)))
     assert got == exp
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_kn_bigram_twin_matches_python_model_on_fuzz(texts):
+    """DuckDB Kneser-Ney twin vs an independent pure-Python
+    implementation of the interpolated-KN formula."""
+    import math
+    from collections import defaultdict
+
+    from docling_plus_spark.operators.textstats import kn_bigram_nll_sql
+
+    con = _con(list(enumerate(texts)))
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            kn_bigram_nll_sql("doc_id", "text", table="documents")
+        ).fetchall()
+    }
+
+    # independent model
+    docs = {i: t.lower().split() for i, t in enumerate(texts)}
+    doc_bgs = {
+        i: list(zip(ws, ws[1:])) for i, ws in docs.items() if len(ws) >= 2
+    }
+    pair = defaultdict(int)
+    for bgs in doc_bgs.values():
+        for b in bgs:
+            pair[b] += 1
+    c1 = defaultdict(int)
+    fw = defaultdict(set)
+    bw = defaultdict(set)
+    for (w1, w2), c in pair.items():
+        c1[w1] += c
+        fw[w1].add(w2)
+        bw[w2].add(w1)
+    n_types = len(pair)
+    D = 0.75
+
+    def p(w1, w2):
+        return (
+            max(pair[(w1, w2)] - D, 0.0) / c1[w1]
+            + D * len(fw[w1]) / c1[w1] * len(bw[w2]) / n_types
+        )
+
+    exp = {}
+    for i, bgs in doc_bgs.items():
+        if not bgs:
+            continue
+        nll = sum(-math.log(p(*b)) for b in bgs) / len(bgs)
+        exp[i] = (len(bgs), round(nll, 6))
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], abs=2e-6)

@@ -591,23 +591,24 @@ def _q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristics AND the hashed linear classifier AND the KN perplexity
     (exact per-corpus 90th-percentile cut, (score, id) total order) —
     a doc survives only if all three agree. The ensemble every modern
-    curation pipeline actually ships."""
+    curation pipeline actually ships. The exact percentile rank uses
+    the two-phase distributed rank (packing.distributed_rank), never a
+    partition-less row_number window over the corpus; n_docs rides the
+    same tiny broadcastable aggregate."""
     from docling_plus_spark.operators.quality import (
         gopher_signals,
         hash_classifier,
     )
+    from docling_plus_spark.operators.packing import distributed_rank
     from docling_plus_spark.operators.textstats import kn_bigram_nll
-    from pyspark.sql.window import Window as W
 
     d = _docs(spark, sf_dir)
     g = gopher_signals(d).select("id", "gopher_pass")
     c = hash_classifier(d).select("id", F.col("score").alias("clf_score"))
     k = kn_bigram_nll(d).select("id", "mean_nll")
-    n = W.partitionBy()
-    ranked = k.withColumn(
-        "nll_rank",
-        F.row_number().over(W.orderBy("mean_nll", "id")),
-    ).withColumn("n_docs", F.count("*").over(n))
+    ranked = distributed_rank(
+        k, ["mean_nll", "id"], rank_col="nll_rank"
+    ).crossJoin(F.broadcast(k.select(F.count("*").alias("n_docs"))))
     k2 = ranked.select(
         "id",
         "mean_nll",

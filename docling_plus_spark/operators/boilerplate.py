@@ -80,8 +80,11 @@ def boilerplate_blocks(
     # normalized EXACTLY like the block text (tags → space, whitespace
     # collapsed, trimmed) so link_density is a true subset ratio ≤ 1 —
     # raw anchor lengths would over-weight whitespace-padded anchors
+    # the tag-name boundary (?:\s[^>]*)? is load-bearing: a bare
+    # '<a[^>]*>' would also match <abbr>/<area>/<address>/<audio> opens
+    # and inflate link_chars with non-anchor text
     link_chars = F.aggregate(
-        F.expr(r"regexp_extract_all(chunk, '<a[^>]*>(.*?)</a>', 1)"),
+        F.expr(r"regexp_extract_all(chunk, '<a(?:\\s[^>]*)?>(.*?)</a>', 1)"),
         F.lit(0),
         lambda acc, s: acc
         + F.length(
@@ -174,7 +177,7 @@ feats AS (
   SELECT id, i,
          length(t) AS n_chars,
          list_sum(list_transform(
-           regexp_extract_all(chunk, '<a[^>]*>(.*?)</a>', 1),
+           regexp_extract_all(chunk, '<a(?:\s[^>]*)?>(.*?)</a>', 1),
            s -> length(trim(regexp_replace(
                 regexp_replace(s, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))
          )) AS link_chars,

@@ -221,6 +221,19 @@ def minhash_candidate_pairs(
     # the pin that pass re-executed per consumer (runtime plan showed
     # repeated Generates). Pinned rows are (id, sig longs, band_key).
     # pin=False keeps the logical plan inspectable (plan-shape tests).
+    #
+    # Recoverability tradeoff (deliberate): localCheckpoint truncates
+    # lineage and stores blocks UNREPLICATED on executors, so on a real
+    # cluster a lost executor fails the job instead of recomputing, and
+    # the pin triggers execution at DataFrame-construction time. That is
+    # the right trade here because (a) the single-scan win is the 100 TB
+    # bottleneck (each unpinned consumer re-reads the corpus), and (b)
+    # the production deployment sits behind the epoch/snapshot layer
+    # (plans/incremental.py): a failed epoch restarts from the last
+    # committed snapshot, which is the recovery unit a global dedup pass
+    # needs anyway. A caller who wants lazy, recomputable lineage (e.g.
+    # composing into a larger plan) passes pin=False and may
+    # persist(StorageLevel.MEMORY_AND_DISK) + count() instead.
     if pin:
         prepared = prepared.localCheckpoint(eager=True)
     counts = prepared.groupBy("band_key").agg(F.count("*").alias("_m"))

@@ -35,6 +35,94 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    inclusive: bool = False,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Two-phase distributed prefix sum (the module-docstring pattern,
+    factored out so every total-order cumulative in the package shares
+    one audited implementation).
+
+    Returns ``df``'s columns plus ``{prefix}{c}`` for each value column:
+    the running sum of ``c`` over rows ordered by ``order_cols``
+    (exclusive of the current row unless ``inclusive``). Ties in
+    ``order_cols`` must be broken by the caller (include a unique id as
+    the last order column) — otherwise the running sum at tied rows is
+    partitioner-dependent.
+
+    Scale shape: one range shuffle of the projected columns, a
+    |partitions|-row side table (the only Exchange SinglePartition), a
+    broadcast join, and a per-partition window. Never a partition-less
+    Window over the data.
+
+    The eager ``localCheckpoint`` pins partition ids so the two
+    consumers of ``d`` (per-partition sums and the final window) see the
+    SAME partitioning. Tradeoff (documented, deliberate): localCheckpoint
+    truncates lineage and stores blocks unreplicated, so on a real
+    cluster a lost executor fails the job instead of recomputing — a
+    resumable production job should sit behind the snapshot/epoch layer
+    (``plans/incremental.py``) so a retry restarts the epoch, which is
+    the semantics a prefix sum needs anyway (its output depends on every
+    input row).
+    """
+    d = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_sums = d.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_psum_{c}") for c in value_cols]
+    )
+    # cumulative start offset per partition: |partitions| rows, so the
+    # single-task window here is over a tiny side table, not the data
+    w_parts = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    part_offsets = part_sums.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_psum_{c}").over(w_parts), F.lit(0)).alias(
+                f"_poff_{c}"
+            )
+            for c in value_cols
+        ],
+    )
+    hi = 0 if inclusive else -1
+    w_intra = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    out = d.join(F.broadcast(part_offsets), "_pid")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.col(f"_poff_{c}")
+            + F.coalesce(F.sum(c).over(w_intra), F.lit(0)),
+        )
+    return out.drop("_pid", *[f"_poff_{c}" for c in value_cols])
+
+
+def distributed_rank(
+    df: DataFrame, order_cols: list[str], rank_col: str = "rank"
+) -> DataFrame:
+    """1-based global rank by ``order_cols`` (which must form a total
+    order) via :func:`distributed_prefix_sum` of a literal 1 — the
+    scale-true replacement for ``row_number() OVER (ORDER BY ...)``
+    with no partition key."""
+    one = "_rank_one"
+    out = distributed_prefix_sum(
+        df.withColumn(one, F.lit(1)), order_cols, [one], inclusive=True
+    )
+    return out.withColumn(rank_col, F.col(f"cum_{one}")).drop(
+        one, f"cum_{one}"
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     budget: int,
@@ -49,36 +137,12 @@ def sequence_pack(
     exactly ``budget`` tokens; zero-token documents are dropped.
     Consumers join back on ``id`` to slice actual token arrays.
     """
-    d = (
+    offs = distributed_prefix_sum(
         df.select(F.col(id_col).alias("id"), F.col(ntok_col).alias("n"))
-        .where(F.col("n") > 0)
-        .repartitionByRange("id")
-        .sortWithinPartitions("id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin partition ids for both uses
-    )
-    part_sums = d.groupBy("pid").agg(F.sum("n").alias("psum"))
-    # cumulative start offset per partition: |partitions| rows, so the
-    # single-task window here is over a tiny side table, not the data
-    w_parts = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    part_offsets = part_sums.select(
-        "pid", F.coalesce(F.sum("psum").over(w_parts), F.lit(0)).alias("poff")
-    )
-    w_intra = (
-        Window.partitionBy("pid")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = (
-        d.join(F.broadcast(part_offsets), "pid")
-        .withColumn(
-            "off",
-            F.col("poff") + F.coalesce(F.sum("n").over(w_intra), F.lit(0)),
-        )
-        .select("id", "n", "off")
-    )
+        .where(F.col("n") > 0),
+        ["id"],
+        ["n"],
+    ).select("id", "n", F.col("cum_n").alias("off"))
     # explode the windows each doc overlaps; `div` keeps the arithmetic
     # integral (offsets exceed double's exact range at real scale)
     b = F.lit(budget)
@@ -238,34 +302,12 @@ def shard_manifest(
     shuffles carry (id, n) longs only. Zero/negative-size documents are
     dropped.
     """
-    d = (
+    offs = distributed_prefix_sum(
         df.select(F.col(id_col).alias("id"), F.col(nbytes_col).alias("n"))
-        .where(F.col("n") > 0)
-        .repartitionByRange("id")
-        .sortWithinPartitions("id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    part_sums = d.groupBy("pid").agg(F.sum("n").alias("psum"))
-    w_parts = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    part_offsets = part_sums.select(
-        "pid", F.coalesce(F.sum("psum").over(w_parts), F.lit(0)).alias("poff")
-    )
-    w_intra = (
-        Window.partitionBy("pid")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = (
-        d.join(F.broadcast(part_offsets), "pid")
-        .withColumn(
-            "off",
-            F.col("poff") + F.coalesce(F.sum("n").over(w_intra), F.lit(0)),
-        )
-        .select("id", "n", "off")
-    )
+        .where(F.col("n") > 0),
+        ["id"],
+        ["n"],
+    ).select("id", "n", F.col("cum_n").alias("off"))
     shard = F.expr(f"off div {target_bytes}")
     w_shard = Window.partitionBy("shard_id").orderBy("off")
     return (

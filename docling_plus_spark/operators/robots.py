@@ -421,9 +421,16 @@ def robots_crawl_delay_sql(
         f"list_filter(list_transform(string_split({body}, chr(10)), "
         f"l -> trim(regexp_replace(l, '#.*$', ''))), l -> l <> '')"
     )
-    name = "lower(trim(split_part(l, ':', 1)))"
+    # mirror the Spark fold's _field guard: a colon-less line has NO
+    # field name (''), it must not break/start an agent run — bare
+    # split_part would return the whole line for 'disallow'/'user-agent'
+    # malformed lines and diverge from Spark
+    name = (
+        "CASE WHEN strpos(l, ':') > 0 "
+        "THEN lower(trim(split_part(l, ':', 1))) ELSE '' END"
+    )
     value = "trim(substr(l, strpos(l, ':') + 1))"
-    return f"""
+    return rf"""
 WITH hosts AS (
   SELECT {host_expr} AS host, {lines} AS ls FROM {table}
 ),

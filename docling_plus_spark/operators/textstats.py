@@ -154,7 +154,7 @@ def char_bigram_logprob(
     model = (
         bg_counts.withColumn("u", F.substring("bg", 1, 1))
         .join(uni_counts, "u")
-        .crossJoin(vocab)
+        .crossJoin(F.broadcast(vocab))
         .select(
             "bg",
             (-F.log((F.col("c_bg") + 1) / (F.col("c_u") + F.col("v")))).alias("nll"),
@@ -329,10 +329,14 @@ def countmin_heavy_hitters(
         .agg(F.count("*").alias("c"))
     )
     exact = terms.groupBy("term").agg(F.count("*").alias("exact_count"))
+    # top-k via orderBy().limit() (TakeOrderedAndProject: per-partition
+    # heaps, never a partition-less Window sorting the full vocab in one
+    # task); the rank window then runs over the k-row result only
     wnd = Window.orderBy(F.desc("exact_count"), F.asc("term"))
     top = (
-        exact.withColumn("rank", F.row_number().over(wnd))
-        .filter(F.col("rank") <= topk)
+        exact.orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(topk)
+        .withColumn("rank", F.row_number().over(wnd))
     )
     probes = top.select(
         "rank",
@@ -528,10 +532,13 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+    # TakeOrdered top-k (per-partition heaps), not a global row_number
+    # window over the full collocation table; rank runs over k rows only
     w = Window.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
+        scored.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+        .limit(topk)
+        .withColumn("rank", F.row_number().over(w))
         .select("rank", "x", "y", "cxy", "pmi")
     )
 
@@ -586,9 +593,12 @@ def vocab_growth(
 
     Distributed form: a word's first occurrence is the min doc id that
     contains it (one vocabulary-keyed shuffle); cumulative sums over the
-    per-doc (token_count, first_occurrences) table are a window over
-    doc ids — never a cross join of prefixes.
+    per-doc (token_count, first_occurrences) table use the two-phase
+    distributed prefix sum from ``packing.distributed_prefix_sum`` —
+    never a cross join of prefixes and never a partition-less window
+    collapsing the per-doc table into one task.
     """
+    from .packing import distributed_prefix_sum
     toks = df.select(
         F.col(id_col).alias("id"),
         F.filter(
@@ -603,14 +613,19 @@ def vocab_growth(
         .groupBy(F.col("fid").alias("id"))
         .agg(F.count("*").alias("new_words"))
     )
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        per_doc.join(first, "id", "left")
-        .select(
+    cum = distributed_prefix_sum(
+        per_doc.join(first, "id", "left").select(
             "id",
-            F.sum("n_toks").over(w).alias("tokens_seen"),
-            F.sum(F.coalesce("new_words", F.lit(0))).over(w).alias("vocab"),
-        )
+            "n_toks",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        ),
+        ["id"],
+        ["n_toks", "new_words"],
+        inclusive=True,
+    ).select(
+        "id",
+        F.col("cum_n_toks").alias("tokens_seen"),
+        F.col("cum_new_words").alias("vocab"),
     )
     n_docs = df.count()
     step = max(n_docs // n_points, 1)

@@ -554,12 +554,18 @@ def bpe_merge_pairs(
     counts = pairs.groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right")).agg(
         F.sum("freq").alias("pair_count")
     )
+    # TakeOrdered top-k (per-partition heaps over the vocabulary-sized
+    # pair table), not a global row_number window; the rank window then
+    # runs over the top_k-row result only
     w = Window.orderBy(
         F.col("pair_count").desc(), F.col("left"), F.col("right")
     )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
+        counts.orderBy(
+            F.col("pair_count").desc(), F.col("left"), F.col("right")
+        )
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
         .select("rank", "left", "right", "pair_count")
     )
 

@@ -90,6 +90,31 @@ def test_twin_parity_including_densities(spark):
     assert [tuple(r) for r in oracle] == got
 
 
+def test_anchor_regex_requires_tag_name_boundary(spark):
+    """<abbr>/<address>/<area>/<audio> must NOT count as anchor opens:
+    a bare '<a[^>]*>' would swallow the text from <abbr> up to the next
+    </a> into link_chars and mislabel this content block as 'bad'.
+    Both twins must agree."""
+    html = (
+        "<p>The <abbr>WHO</abbr> said it was good for the work of the "
+        "team and all of them, see <a href='/x'>here</a> for more of "
+        "the data that they made over time.</p>"
+    )
+    df = spark.createDataFrame([(3, html)], "doc_id long, html string")
+    rows = boilerplate_blocks(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # only 'here' (4 chars) is anchor text; the block is stopword-rich
+    assert r.label == "good" and r.link_density < 0.06, r
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT 3::bigint AS doc_id, ? AS html",
+        [html],
+    )
+    oracle = con.execute(boilerplate_blocks_sql()).fetchall()
+    assert [tuple(x) for x in oracle] == [tuple(r)]
+
+
 def test_main_content_joins_good_blocks_in_order(spark):
     df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
     row = main_content(df).collect()[0]

@@ -133,6 +133,41 @@ def test_mixture_plan_semantics(spark):
     assert [tuple(r) for r in oracle] == got
 
 
+def test_mixture_plan_targeted_but_missing_source(spark):
+    """A targeted source ABSENT from the corpus must not be silently
+    ignored (ADVICE r4): it appears as an explicit zero-count row
+    (sample_rate 0, repeat_epochs 0) and must NOT distort the present
+    sources' normalization. Twins agree."""
+    rows = [(i, "src_a", 60) for i in range(10)] + [
+        (i + 10, "src_b", 20) for i in range(10)
+    ]
+    weights = {"src_a": 0.3, "src_b": 0.5, "src_ghost": 0.2}
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = {r.source: r for r in mixture_plan(df, weights, ntok_col="n").collect()}
+    g = out["src_ghost"]
+    assert (g.n_docs, g.n_tokens, g.actual_frac) == (0, 0, 0.0)
+    assert g.sample_rate == 0.0 and g.repeat_epochs == 0
+    assert g.target_frac == pytest.approx(0.2)
+    # present sources normalized over present ratios only: b is still
+    # the reference source (kept whole) despite the infinite-ratio ghost
+    assert out["src_b"].sample_rate == 1.0
+    assert out["src_a"].sample_rate > 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{s}', {n})" for i, s, n in rows)
+        + ") t(doc_id, source, n)"
+    )
+    oracle = con.execute(
+        "SELECT * FROM ("
+        + mixture_plan_sql(weights, ntok_expr="n")
+        + ") ORDER BY source"
+    ).fetchall()
+    got = sorted((tuple(out[k]) for k in out), key=lambda t: t[0])
+    assert [tuple(r) for r in oracle] == got
+
+
 def test_curation_mixture_stage(spark):
     """The job_curate 'mixture' stage composes mixture_plan into the
     filter chain: deterministic, per-source survivor fractions track

@@ -448,3 +448,71 @@ def test_image_alt_pairs_single_rank_shuffle_no_html(spark):
     assert exchanges, plan[:800]
     for b in exchanges:
         assert "html#" not in b, b
+
+
+def _single_partition_only_over_tiny(plan: str) -> None:
+    """Shared assertion: any Exchange SinglePartition in `plan` must sit
+    over a tiny side table (per-partition sums / a limit-k result), never
+    over corpus-derived rows."""
+    blocks = plan.split("\n\n")
+    for i, b in enumerate(blocks):
+        if "Exchange SinglePartition" in b:
+            ctx = "\n".join(blocks[max(0, i - 3): i + 2])
+            assert (
+                "psum" in ctx or "pid" in ctx or "TakeOrdered" in ctx
+                or "GlobalLimit" in ctx or "rank_one" in ctx
+            ), ctx
+
+
+def test_vocab_growth_no_global_single_task_window(spark):
+    """r4 VERDICT scale-killer: the Heaps-law cumulative sums must be
+    the two-phase distributed prefix sum (packing.distributed_prefix_sum),
+    never Window.orderBy(id) with no partition key over the per-doc
+    table."""
+    from docling_plus_spark.operators.textstats import vocab_growth
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    _single_partition_only_over_tiny(_plan(vocab_growth(d)))
+
+
+def test_global_topk_windows_are_take_ordered(spark):
+    """countmin_topk / pmi_pairs / bpe_merge_pairs top-k: the full
+    vocab/pair table must reach the driver-side k rows via
+    TakeOrderedAndProject (per-partition heaps), not via a partition-less
+    row_number Window single-tasking the whole table."""
+    from docling_plus_spark.operators.textstats import (
+        countmin_heavy_hitters,
+        pmi_pairs,
+    )
+    from docling_plus_spark.operators.webclean import bpe_merge_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        countmin_heavy_hitters(d, topk=5),
+        pmi_pairs(d, topk=5, min_count=2),
+        bpe_merge_pairs(d, top_k=5),
+    ):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, plan[:1200]
+        _single_partition_only_over_tiny(plan)
+
+
+def test_char_bigram_vocab_crossjoin_is_broadcast(spark):
+    """r3 item 6 (two rounds old): the 1-row vocab crossJoin in
+    char_bigram_logprob must be a BroadcastNestedLoopJoin by plan, not
+    rescued at runtime by AQE."""
+    from docling_plus_spark.operators.textstats import char_bigram_logprob
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(char_bigram_logprob(d))
+    assert "CartesianProduct" not in plan, plan[:1200]
+
+
+def test_quality_ensemble_rank_is_two_phase(spark):
+    """The ensemble's exact 90th-percentile NLL cut must use the
+    two-phase distributed rank, never a partition-less row_number over
+    the corpus (ADVICE r4)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["quality_ensemble"](spark, SF)
+    _single_partition_only_over_tiny(_plan(df))

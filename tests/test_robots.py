@@ -240,6 +240,11 @@ def test_crawl_delay_group_semantics_twin_parity(spark):
         ("h6", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4\n"),
         ("h7", ""),
         ("h8", "Crawl-delay: 5\nUser-agent: *\n"),  # delay before any group
+        # colon-less malformed lines: _field yields '' (kind 0) — they
+        # must neither break nor start an agent run in EITHER engine
+        # (a bare split_part twin would treat 'disallow' as kind 2 and
+        # 'user-agent' as a run start and return NULL here)
+        ("h9", "User-agent: *\ndisallow\nuser-agent\nCrawl-delay: 2\n"),
     ]
     df = spark.createDataFrame(bodies, "host string, robots_txt string")
     got = sorted(
@@ -248,6 +253,7 @@ def test_crawl_delay_group_semantics_twin_parity(spark):
     assert got == [
         ("h1", 2.5), ("h2", None), ("h3", 1.0), ("h4", None),
         ("h5", 3.0), ("h6", 4.0), ("h7", None), ("h8", None),
+        ("h9", 2.0),
     ]
     con = duckdb.connect()
     con.execute("CREATE TABLE r(host VARCHAR, robots_txt VARCHAR)")

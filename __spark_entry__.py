@@ -586,6 +586,21 @@ def _q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_mine(emb, k=4, tau=1.0)
 
 
+def _q_bitext_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production bitext mining (operators/ann.py:bitext_mine_ivf):
+    margin + mutual-top-1 over IVF probed-list candidates instead of
+    the brute cross join — the CCMatrix-scale pair-generation path;
+    plan-locked to form pairs only inside probed lists."""
+    from docling_plus_spark.operators.ann import bitext_mine_ivf
+
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        "embedding",
+    )
+    return bitext_mine_ivf(emb, k=4, tau=1.0, n_lists=16, nprobe=4)
+
+
 def _q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style multi-filter gate as ONE composed plan: Gopher
     heuristics AND the hashed linear classifier AND the KN perplexity
@@ -3029,99 +3044,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # "What's missing" #2); (3) new round-4 operators; (4) filler from
     # the r3-green batch. Double-green r1+r2 entries sit at the tail.
     return {
-        # -- (1) the r3 red cell, fix must be driver-verified --
-        "bpe_merge_pairs": _q_bpe_merge_pairs,
-        # -- (2) never in any driver window through r3 --
-        "base64_roundtrip": _q_base64_roundtrip,
-        "events_window": _q_events_window,
-        "char_entropy": _q_char_entropy,
-        "containment_pairs": _q_containment_pairs,
-        "dataset_card": _q_dataset_card,
-        "flesch": _q_flesch,
-        "host_quality": _q_host_quality,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "ngram_novelty": _q_ngram_novelty,
-        "pmi_pairs": _q_pmi_pairs,
-        "robots_sitemaps": _q_robots_sitemaps,
-        "sitemap_extract": _q_sitemap_extract,
-        "stride_windows": _q_stride_windows,
-        "vocab_growth": _q_vocab_growth,
-        # -- (3) new round-4 operators --
-        "boilerplate_blocks": _q_boilerplate_blocks,
-        "main_content_extract": _q_main_content,
-        "shard_manifest": _q_shard_manifest,
-        "recrawl_schedule": _q_recrawl_schedule,
-        "web_tables": _q_web_tables,
-        "web_table_shapes": _q_web_table_shapes,
-        "image_alt_pairs": _q_image_alt_pairs,
-        "mixture_plan": _q_mixture_plan,
-        "ann_recall": _q_ann_recall,
-        "kn_perplexity": _q_kn_perplexity,
-        "extract_shard_plan": _q_extract_shard_plan,
-        "bitext_mine": _q_bitext_mine,
-        "quality_ensemble": _q_quality_ensemble,
-        "robots_crawl_delay": _q_robots_crawl_delay,
-        # -- (4) filler: r3-green batch (second driver confirmation) --
-        "winnow_fingerprint": _q_winnow_fingerprint,  # output scalarized (r2 err)
-        "winnow_pairs": _q_winnow_pairs,
-        "winnow_dedup": _q_winnow_dedup,
-        "pdf_bytes_extract": _q_pdf_bytes_extract,
-        "tfidf_topk": _q_tfidf_topk,
-        "char_lm_score": _q_char_lm_score,
-        "repetition_strip": _q_repetition_strip,
-        "dsir_weights": _q_dsir_weights,
-        "bloom_dedup": _q_bloom_dedup,
-        "distribution_match": _q_distribution_match,
-        "table_repair": _q_table_repair,
-        "audio_route": _q_audio_route,
-        "warc_extract": _q_warc_extract,
-        "outlinks": _q_outlinks,
-        "pagerank": _q_pagerank,
-        "hits": _q_hits,
-        "wet_sink": _q_wet_sink,
-        "sequence_pack": _q_sequence_pack,
-        "substring_dedup": _q_substring_dedup,
-        "span_offsets": _q_span_offsets,
-        "anchor_text": _q_anchor_text,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "robots_gate": _q_robots_gate,
-        "cc_keep_best": _q_cc_keep_best,
-        "inverted_index": _q_inverted_index,
-        "gopher_repetition": _q_gopher_repetition,
-        "crawl_diff": _q_crawl_diff,
-        "meta_extract": _q_meta_extract,
-        "frontier_schedule": _q_frontier_schedule,
-        "hyperball": _q_hyperball,
-        "sentence_spans": _q_sentence_spans,
-        "sentence_dedup": _q_sentence_dedup,
-        "kmeans": _q_kmeans,
-        "semdedup": _q_semdedup,
-        "hash_classifier": _q_hash_classifier,
-        "url_filter": _q_url_filter,
-        "bpe_train": _q_bpe_train,
-        "bpe_encode": _q_bpe_encode,
-        "pq_codes": _q_pq_codes,
-        "script_composition": _q_script_composition,
-        "pq_adc_topk": _q_pq_adc_topk,
-        "minhash_incremental": _q_minhash_incremental,
-        "curation_funnel": _q_curation_funnel,
-        "streaming_sessionize": _q_streaming_sessionize,
-        "countmin_topk": _q_countmin_topk,
-        # -- round-2 additions that fell outside the r2 window --
-        # (r1-green; the lowest-risk slice — colspan_parse, url_resolve,
-        #  levenshtein, base64_roundtrip, list_marker, chunkify,
-        #  lineage_rollup, events_window, cell_sort — moved to the tail
-        #  to make room for the 9 never-driver-checked queries above)
-        "inline_merge_runs": _q_inline_merge_runs,  # r1 red, fix never verified
-        "sessionize": _q_sessionize,  # same ::bigint fix, never verified
-        "vtt_extract": _q_vtt_extract,
-        "caption_binding": _q_caption_binding,
+    # ORDERING CONTRACT: the driver's CORRECTNESS gate checks the FIRST
+    # ~50 entries in dict order. Round-5 curation (VERDICT r4 item 6):
+    # least-recently-driver-verified first — (1) bitext_mine_ivf, the
+    # only never-checked query (new this round); (2) the 16 queries
+    # whose last driver row is r1; (3) the r2-green batch. The freshly
+    # r4-verified tranche ages at the tail. Ordering is generated from
+    # the CORRECTNESS_r0{1..4}.json keys (latest round each query
+    # appeared in), stable by prior registry order.
+        "bitext_mine_ivf": _q_bitext_mine_ivf,
+        # -- last driver row: r1 --
         "text_merge": _q_text_merge,
-        # ---- 50-query window boundary (ends at caption_binding).
-        #      otsl_dims / streaming_extract (r1-green) and extract_text
-        #      (double-green r1+r2, still smoke-checked every round via
-        #      entry()) sit just past it to fit
-        #      bpe_train/bpe_encode/pq_codes. ----
         "heading_hierarchy": _q_heading_hierarchy,
         "list_numbering": _q_list_numbering,
         "cell_cluster_assign": _q_cell_cluster_assign,
@@ -3129,8 +3062,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_envelope": _q_bbox_envelope,
         "table_reindex": _q_table_reindex,
         "otsl_dims": _q_otsl_dims,
-        "extract_text": _q_extract_text,
         "streaming_extract": _q_streaming_extract,
+        "cell_sort": _q_cell_sort,
+        "chunkify": _q_chunkify,
+        "lineage_rollup": _q_lineage_rollup,
+        "colspan_parse": _q_colspan_parse,
+        "url_resolve": _q_url_resolve,
+        "levenshtein": _q_levenshtein,
+        "list_marker": _q_list_marker,
+        # -- last driver row: r2 --
+        "extract_text": _q_extract_text,
         "extract_markdown": _q_extract_markdown,
         "doctags_extract": _q_doctags_extract,
         "html_sink": _q_html_sink,
@@ -3156,15 +3097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "asof_join": _q_asof_join,
         "jaccard_pairs": _q_jaccard_pairs,
-        # -- beyond the 50-window (double-green r1+r2, plus the r1-green
-        #    slice evicted this round to fit never-checked queries) --
-        "cell_sort": _q_cell_sort,
-        "chunkify": _q_chunkify,
-        "lineage_rollup": _q_lineage_rollup,
-        "colspan_parse": _q_colspan_parse,
-        "url_resolve": _q_url_resolve,
-        "levenshtein": _q_levenshtein,
-        "list_marker": _q_list_marker,
         "simhash": _q_simhash,
         "simhash_near": _q_simhash_near,
         "ann_topk": _q_ann_topk,
@@ -3172,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
+        # ---- ~50-query window boundary ----
         "pii_redact": _q_pii_redact,
         "url_dedup": _q_url_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3188,6 +3121,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,
         "csv_extract": _q_csv_extract,
         "md_extract": _q_md_extract,
+        # -- last driver row: r3 --
+        "ccnet_buckets": _q_ccnet_buckets,
+        "robots_gate": _q_robots_gate,
+        "cc_keep_best": _q_cc_keep_best,
+        "inverted_index": _q_inverted_index,
+        "gopher_repetition": _q_gopher_repetition,
+        "crawl_diff": _q_crawl_diff,
+        "meta_extract": _q_meta_extract,
+        "frontier_schedule": _q_frontier_schedule,
+        "hyperball": _q_hyperball,
+        "sentence_spans": _q_sentence_spans,
+        "sentence_dedup": _q_sentence_dedup,
+        "kmeans": _q_kmeans,
+        "semdedup": _q_semdedup,
+        "hash_classifier": _q_hash_classifier,
+        "url_filter": _q_url_filter,
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "pq_codes": _q_pq_codes,
+        "script_composition": _q_script_composition,
+        "pq_adc_topk": _q_pq_adc_topk,
+        "minhash_incremental": _q_minhash_incremental,
+        "curation_funnel": _q_curation_funnel,
+        "streaming_sessionize": _q_streaming_sessionize,
+        "countmin_topk": _q_countmin_topk,
+        "inline_merge_runs": _q_inline_merge_runs,
+        "sessionize": _q_sessionize,
+        "vtt_extract": _q_vtt_extract,
+        "caption_binding": _q_caption_binding,
+        # -- last driver row: r4 --
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
+        "base64_roundtrip": _q_base64_roundtrip,
+        "events_window": _q_events_window,
+        "char_entropy": _q_char_entropy,
+        "containment_pairs": _q_containment_pairs,
+        "dataset_card": _q_dataset_card,
+        "flesch": _q_flesch,
+        "host_quality": _q_host_quality,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "ngram_novelty": _q_ngram_novelty,
+        "pmi_pairs": _q_pmi_pairs,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "sitemap_extract": _q_sitemap_extract,
+        "stride_windows": _q_stride_windows,
+        "vocab_growth": _q_vocab_growth,
+        "boilerplate_blocks": _q_boilerplate_blocks,
+        "main_content_extract": _q_main_content,
+        "shard_manifest": _q_shard_manifest,
+        "recrawl_schedule": _q_recrawl_schedule,
+        "web_tables": _q_web_tables,
+        "web_table_shapes": _q_web_table_shapes,
+        "image_alt_pairs": _q_image_alt_pairs,
+        "mixture_plan": _q_mixture_plan,
+        "ann_recall": _q_ann_recall,
+        "kn_perplexity": _q_kn_perplexity,
+        "extract_shard_plan": _q_extract_shard_plan,
+        "bitext_mine": _q_bitext_mine,
+        "quality_ensemble": _q_quality_ensemble,
+        "robots_crawl_delay": _q_robots_crawl_delay,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_pairs": _q_winnow_pairs,
+        "winnow_dedup": _q_winnow_dedup,
+        "pdf_bytes_extract": _q_pdf_bytes_extract,
+        "tfidf_topk": _q_tfidf_topk,
+        "char_lm_score": _q_char_lm_score,
+        "repetition_strip": _q_repetition_strip,
+        "dsir_weights": _q_dsir_weights,
+        "bloom_dedup": _q_bloom_dedup,
+        "distribution_match": _q_distribution_match,
+        "table_repair": _q_table_repair,
+        "audio_route": _q_audio_route,
+        "warc_extract": _q_warc_extract,
+        "outlinks": _q_outlinks,
+        "pagerank": _q_pagerank,
+        "hits": _q_hits,
+        "wet_sink": _q_wet_sink,
+        "sequence_pack": _q_sequence_pack,
+        "substring_dedup": _q_substring_dedup,
+        "span_offsets": _q_span_offsets,
+        "anchor_text": _q_anchor_text,
     }
 
 
@@ -4065,6 +4078,7 @@ FROM media
         "kn_perplexity": _kn_perplexity_oracle(),
         "extract_shard_plan": _extract_shard_plan_oracle(),
         "bitext_mine": _bitext_mine_oracle(),
+        "bitext_mine_ivf": _bitext_mine_ivf_oracle(),
         "quality_ensemble": _quality_ensemble_oracle(),
         "robots_crawl_delay": _robots_crawl_delay_oracle(),
     }
@@ -4118,6 +4132,18 @@ def _bitext_mine_oracle() -> str:
     return bitext_mine_sql(
         k=4,
         tau=1.0,
+        lang_expr="CASE WHEN vec_id % 2 = 0 THEN 'en' ELSE 'de' END",
+    )
+
+
+def _bitext_mine_ivf_oracle() -> str:
+    from docling_plus_spark.operators.ann import bitext_mine_ivf_sql
+
+    return bitext_mine_ivf_sql(
+        k=4,
+        tau=1.0,
+        n_lists=16,
+        nprobe=4,
         lang_expr="CASE WHEN vec_id % 2 = 0 THEN 'en' ELSE 'de' END",
     )
 

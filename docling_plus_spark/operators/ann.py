@@ -339,10 +339,11 @@ def bitext_mine(
     language's side.
 
     Scale shape: this is the labeled brute baseline (all cross-lingual
-    pairs form; fine for the sampled evaluation slice) — production
-    swaps the pair generation for the IVF/LSH candidate paths in this
-    module, which changes recall, not the margin/mutual-top-1 logic.
-    All reductions are id-keyed aggregates over (id, cosine) pairs.
+    pairs form; fine for the sampled evaluation slice). The production
+    path is :func:`bitext_mine_ivf`, which swaps the pair generation
+    for IVF probed-list candidates — recall changes, the
+    margin/mutual-top-1 logic (shared tail) does not. All reductions
+    are id-keyed aggregates over (id, cosine) pairs.
     """
     langs = [
         r[0]
@@ -371,6 +372,17 @@ def bitext_mine(
         )
         .localCheckpoint(eager=True)  # feeds kNN means both ways + scoring
     )
+    return _bitext_margin_mutual_top1(pairs, k, tau)
+
+
+def _bitext_margin_mutual_top1(
+    pairs: DataFrame, k: int, tau: float
+) -> DataFrame:
+    """Shared margin-scoring + mutual-top-1 tail of bitext mining:
+    ``pairs`` is (id_a, id_b, cosine) for the candidate set (brute =
+    all cross-lingual pairs; IVF = probed-list pairs only). The margin
+    denominator uses each side's mean cosine to its k nearest
+    neighbours WITHIN the candidate set."""
     wa = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     wb = Window.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
     knn_a = (
@@ -393,8 +405,7 @@ def bitext_mine(
             "id_b",
             "cosine",
             F.round(
-                F.col("cosine")
-                / ((F.col("mean_a") + F.col("mean_b")) / 2),
+                F.col("cosine") / ((F.col("mean_a") + F.col("mean_b")) / 2),
                 6,
             ).alias("margin"),
         )
@@ -408,6 +419,187 @@ def bitext_mine(
         .filter(F.col("margin") >= tau)
         .select("id_a", "id_b", "cosine", "margin")
     )
+
+
+def bitext_mine_ivf(
+    emb: DataFrame,
+    k: int = 4,
+    tau: float = 1.0,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    lang_col: str = "lang",
+    vec_col: str = "embedding",
+    pin: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, cosine, margin) — margin-based bitext mining over
+    IVF-probed candidates: the PRODUCTION path :func:`bitext_mine`'s
+    docstring promises (CCMatrix mines 4.5 B pairs this way — brute
+    cross-lingual pair formation is impossible at that scale).
+
+    Pair generation is :func:`cosine_topk_ivf`'s shape over one shared
+    coarse quantizer: every vector (both languages) assigns to its
+    nearest of the ``n_lists`` lowest-id centroids; a cross-lingual
+    pair becomes a candidate iff either side's ``nprobe`` probe set
+    contains the other's home list. The margin/mutual-top-1 logic is
+    unchanged — only recall differs (tunable via n_lists/nprobe;
+    measure it with the :func:`ann_recall` loop before deploying, and
+    see tests/test_dedup_ann.py's recovery check against the brute
+    baseline).
+
+    Scale shape: candidate formation shuffles on ``list_id`` and
+    touches ~nprobe/n_lists of the opposite corpus per query — never a
+    cross join; the kNN-mean reductions are id-keyed over (id, cosine)
+    pairs. ``id_a`` is the lexicographically first language's side.
+    """
+    langs = [
+        r[0]
+        for r in emb.select(F.col(lang_col)).distinct().orderBy(lang_col).collect()
+    ]
+    if len(langs) != 2:
+        raise ValueError(f"bitext_mine_ivf needs exactly 2 languages, got {langs}")
+    la, lb = langs
+    # pin base (feeds centroid seeding AND assignment), then the ranked
+    # assignment (feeds data AND probe sides) — the cosine_topk_ivf
+    # single-scan discipline; pin=False keeps the logical plan
+    # inspectable for the plan-shape locks
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        unit_vec(F.col(vec_col).cast("array<double>")).alias("emb"),
+    )
+    if pin:
+        base = base.localCheckpoint(eager=True)
+    w_cent = Window.orderBy("id")
+    cents = (
+        base.orderBy("id")
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(w_cent) - 1).alias("list_id"),
+            F.col("emb").alias("cemb"),
+        )
+    )
+    assigned = base.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "lang",
+        "emb",
+        "list_id",
+        F.round(_dot(F.col("emb"), F.col("cemb")), 4).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("list_id"))
+    ranked = assigned.withColumn("crk", F.row_number().over(w_assign))
+    if pin:
+        ranked = ranked.localCheckpoint(eager=True)
+    data = ranked.filter(F.col("crk") == 1).select("list_id", "id", "lang", "emb")
+    probe = ranked.filter(F.col("crk") <= nprobe).select(
+        "list_id", "id", "lang", "emb"
+    )
+
+    def _dir(qlang: str, clang: str) -> DataFrame:
+        q = probe.filter(F.col("lang") == qlang).select(
+            "list_id", F.col("id").alias("qid"), F.col("emb").alias("qemb")
+        )
+        c = data.filter(F.col("lang") == clang).select(
+            "list_id", F.col("id").alias("cid"), F.col("emb").alias("cemb2")
+        )
+        out = q.join(c, "list_id")
+        ida = F.col("qid") if qlang == la else F.col("cid")
+        idb = F.col("cid") if qlang == la else F.col("qid")
+        return out.select(
+            ida.alias("id_a"),
+            idb.alias("id_b"),
+            F.round(_dot(F.col("qemb"), F.col("cemb2")), 4).alias("cosine"),
+        )
+
+    # both probe directions; score BEFORE the distinct so the dedup
+    # shuffles (id, id, cosine) rows, never the embedding arrays —
+    # pinned because it feeds the kNN means both ways plus scoring
+    pairs = _dir(la, lb).unionAll(_dir(lb, la)).distinct()
+    if pin:
+        pairs = pairs.localCheckpoint(eager=True)
+    return _bitext_margin_mutual_top1(pairs, k, tau)
+
+
+def bitext_mine_ivf_sql(
+    k: int = 4,
+    tau: float = 1.0,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_expr: str = "vec_id",
+    lang_expr: str = "lang",
+    vec_expr: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`bitext_mine_ivf` (two-language corpus)."""
+    unit = (
+        f"list_transform({vec_expr}::double[], x -> x / "
+        f"sqrt(list_dot_product({vec_expr}::double[], {vec_expr}::double[])))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id, {lang_expr} AS lang, {unit} AS uemb FROM {table}
+),
+langs AS (SELECT lang, row_number() OVER (ORDER BY lang) AS lr
+          FROM (SELECT DISTINCT lang FROM base)),
+guard AS (SELECT CASE WHEN count(*) = 2 THEN 1
+                 ELSE error('bitext_mine_ivf: need exactly 2 languages')
+                 END AS ok FROM langs),
+cents AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, uemb AS cemb
+  FROM base ORDER BY id LIMIT {n_lists}
+),
+ranked AS (
+  SELECT id, lang, uemb, list_id,
+         row_number() OVER (PARTITION BY id
+             ORDER BY round(list_dot_product(uemb, cemb), 4) DESC,
+                      list_id) AS crk
+  FROM base CROSS JOIN cents
+),
+data AS (SELECT list_id, id, lang, uemb FROM ranked WHERE crk = 1),
+probe AS (SELECT list_id, id, lang, uemb FROM ranked WHERE crk <= {nprobe}),
+la AS (SELECT lang FROM langs WHERE lr = 1),
+lb AS (SELECT lang FROM langs WHERE lr = 2),
+pairs AS (
+  SELECT DISTINCT id_a, id_b, cosine FROM (
+    SELECT q.id AS id_a, c.id AS id_b,
+           round(list_dot_product(q.uemb, c.uemb), 4) AS cosine
+    FROM probe q JOIN data c USING (list_id)
+    WHERE q.lang = (SELECT lang FROM la) AND c.lang = (SELECT lang FROM lb)
+    UNION ALL
+    SELECT c.id AS id_a, q.id AS id_b,
+           round(list_dot_product(q.uemb, c.uemb), 4) AS cosine
+    FROM probe q JOIN data c USING (list_id)
+    WHERE q.lang = (SELECT lang FROM lb) AND c.lang = (SELECT lang FROM la)
+  )
+),
+knn_a AS (
+  SELECT id_a, avg(cosine) AS mean_a FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+        ORDER BY cosine DESC, id_b) AS rk FROM pairs
+  ) WHERE rk <= {k} GROUP BY id_a
+),
+knn_b AS (
+  SELECT id_b, avg(cosine) AS mean_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_b
+        ORDER BY cosine DESC, id_a) AS rk FROM pairs
+  ) WHERE rk <= {k} GROUP BY id_b
+),
+scored AS (
+  SELECT p.id_a, p.id_b, p.cosine,
+         round(p.cosine / ((ka.mean_a + kb.mean_b) / 2), 6) AS margin
+  FROM pairs p JOIN knn_a ka USING (id_a) JOIN knn_b kb USING (id_b)
+),
+mranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id_a
+             ORDER BY margin DESC, id_b) AS rka,
+         row_number() OVER (PARTITION BY id_b
+             ORDER BY margin DESC, id_a) AS rkb
+  FROM scored
+)
+SELECT id_a, id_b, cosine, margin FROM mranked, guard
+WHERE guard.ok = 1 AND rka = 1 AND rkb = 1 AND margin >= {tau!r}
+"""
 
 
 def bitext_mine_sql(

@@ -227,3 +227,47 @@ def test_bitext_mine_rejects_non_two_lang(spark):
     )
     with pytest.raises(ValueError):
         bitext_mine(df)
+
+def test_bitext_mine_ivf_recovers_planted_pairs_and_twin(spark):
+    """The production IVF candidate path must recover the planted
+    translations too (probe-limited pair formation, same margin tail),
+    and its DuckDB twin must agree exactly."""
+    import math
+
+    from docling_plus_spark.operators.ann import (
+        bitext_mine_ivf,
+        bitext_mine_ivf_sql,
+    )
+
+    def vec(i, flip):
+        base = [math.sin(i * 1.7 + d) for d in range(8)]
+        if flip:
+            base[0] += 0.01
+        return base
+
+    rows = [(i, "en", vec(i, False)) for i in range(12)] + [
+        (100 + i, "de", vec(i, True)) for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, lang string, embedding array<double>"
+    )
+    out = bitext_mine_ivf(df, k=3, tau=1.0, n_lists=4, nprobe=2).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # planted i<->i pairs that survive probing; at nprobe=2/4 lists the
+    # vast majority must be recovered (recall <1 is the documented trade)
+    assert got <= {(100 + i, i) for i in range(12)}
+    assert len(got) >= 9, got
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{l}', {v})" for i, l, v in rows)
+        + ") t(vec_id, lang, embedding)"
+    )
+    oracle = con.execute(
+        "SELECT * FROM ("
+        + bitext_mine_ivf_sql(k=3, tau=1.0, n_lists=4, nprobe=2)
+        + ") ORDER BY id_a"
+    ).fetchall()
+    spark_rows = sorted((r.id_a, r.id_b, r.cosine, r.margin) for r in out)
+    assert [tuple(r) for r in oracle] == spark_rows

@@ -516,3 +516,26 @@ def test_quality_ensemble_rank_is_two_phase(spark):
 
     df = e.queries()["quality_ensemble"](spark, SF)
     _single_partition_only_over_tiny(_plan(df))
+
+
+def test_bitext_mine_ivf_pairs_form_only_in_probed_lists(spark):
+    """The production bitext path must never form pairs via a cross
+    join: candidate formation is an equi-join on list_id (probe side x
+    data side); the only nested-loop join allowed is the broadcast of
+    the tiny centroid table."""
+    from docling_plus_spark.operators.ann import bitext_mine_ivf
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % 2 == 0, "en")
+            .otherwise("de")
+            .alias("lang"),
+            "embedding",
+        )
+    )
+    plan = _plan(bitext_mine_ivf(emb, k=3, n_lists=8, nprobe=2, pin=False))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    # the candidate join keys on list_id
+    assert "list_id" in plan

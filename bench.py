@@ -111,6 +111,21 @@ def main() -> None:
         .select(F.aggregate(F.split("h", ""), F.lit(0), lambda a, x: a + F.length(x)))
     )
     _w2.write.format("noop").mode("overwrite").save()
+    # warm the array-HOF dot-product codegen the ANN family compiles
+    # (zip_with + aggregate over double arrays): cold, the first brute
+    # query paid ~7 s of JVM compilation (r4 bench showed ann_topk at
+    # 3.85 s vs its 2.3-2.7 s steady state — ordering cost, not a plan
+    # regression; measured 9.45 s cold / 2.34 s warm standalone)
+    _v = spark.range(0, 512).select(
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: i * F.col("id").cast("double")).alias("v")
+    )
+    _v.alias("a").crossJoin(_v.alias("b")).select(
+        F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    ).write.format("noop").mode("overwrite").save()
 
     # -- headline: extraction over the replicated reference-fixture corpus
     fx_path = ensure_fixture_parquet(spark, replicate)

@@ -170,8 +170,14 @@ class _TextExtractor:
             for g in font.decode(raw):
                 w0 = g.width / 1000.0
                 adv = (w0 * tfs + tc + (tw if g.is_space and not font.two_byte else 0.0)) * th
-                if g.text or g.is_space:
-                    is_space = g.is_space or g.text.isspace()
+                # unmapped glyphs with real width (symbol-font bullets,
+                # broken encodings) are kept as U+FFFD: docling-parse
+                # keeps them as cells (redp5110 p2: 9 list bullets)
+                text = g.text
+                if not text and not g.is_space and w0 > 0:
+                    text = "�"
+                if text or g.is_space:
+                    is_space = g.is_space or text.isspace()
                     xl = xoff
                     xr = xoff + w0 * sx
                     if fast:
@@ -182,7 +188,7 @@ class _TextExtractor:
                         baseline = d * ts + f
                         size = abs(d * tfs)
                         glyphs_out.append(_GlyphQuad(
-                            " " if is_space else g.text,
+                            " " if is_space else text,
                             min(dx0, dx1), min(dy0, dy1),
                             max(dx0, dx1), max(dy0, dy1),
                             size or tfs, baseline, is_space, font, run,
@@ -196,7 +202,7 @@ class _TextExtractor:
                         ys = [p[1] for p in pts]
                         size = abs(d * tfs) or abs(b * tfs) or tfs
                         glyphs_out.append(_GlyphQuad(
-                            " " if is_space else g.text,
+                            " " if is_space else text,
                             min(xs), min(ys), max(xs), max(ys),
                             size, _apply(mc, xl, ts)[1], is_space, font, run,
                         ))
@@ -356,8 +362,12 @@ class _Word:
 
 def _glyphs_to_words(glyphs: list[_GlyphQuad]) -> list[_Word]:
     """Emission-order word assembly: breaks on space↔text transitions,
-    baseline jumps, inter-word kern gaps (> WORD_GAP em) and backwards
-    motion."""
+    baseline jumps, inter-word kern gaps (> WORD_GAP em), backwards
+    motion, and FONT changes (docling-parse segments per style run even
+    inside a visually continuous token — calibration: the glyph-level
+    font break alone moved the golden cell-count deviation 151 → 124
+    and exact pages 10 → 14; e.g. redp5110's 'ibm.com/redbooks' is two
+    fonts and two golden cells)."""
     words: list[_Word] = []
     cur: list[_GlyphQuad] = []
     cur_r = 0.0  # running right edge of the current word
@@ -372,6 +382,8 @@ def _glyphs_to_words(glyphs: list[_GlyphQuad]) -> list[_Word]:
                 brk = True
             elif gap > WORD_GAP * em or gap < -2.0 * em:
                 brk = True
+            elif g.font is not prev.font:
+                brk = True
         if brk and cur:
             words.append(_Word(cur))
             cur = []
@@ -384,10 +396,37 @@ def _glyphs_to_words(glyphs: list[_GlyphQuad]) -> list[_Word]:
     return words
 
 
+#: duplicate-space layer rule: minimum show-run distance to the row's
+#: nearest NON-space word for an overlapping space word to count as a
+#: separately-painted whitespace layer (tagged PDFs paint word-gap
+#: spaces in dedicated early show ops; docling-parse keeps each such
+#: run its own textline cell — amt_handbook deviation 26 → 7)
+DUP_SPACE_RUN_DIST = 5
+#: TeX sentence-gap rule: in kern-spaced rows (median inter-word gap
+#: >= REL_MIN_MED em — i.e. no space glyphs, TeX/TJ typography), an
+#: outlier gap > REL_RATIO x median (and >= REL_MIN_GAP em) is an
+#: inter-sentence boundary docling-parse splits at (picture_
+#: classification/multi_page calibration: deviation 90 → 72,
+#: multi_page all 4 content pages exact)
+REL_RATIO = 1.35
+REL_MIN_GAP = 0.40
+REL_MIN_MED = 0.2
+#: double-strike rule: a non-space word jumping BACK over the segment
+#: (gap < -OV_THR em) while vertically tight with the previous word
+#: (overlap > OV_VERT of the smaller height) is a re-paint layer
+#: (simulated bold / figure text layers), its own cell (redp5110 p9
+#: deviation 16 → 0); the vertical guard keeps stacked two-line table
+#: headers merged (2305.03393v1 stays exact)
+OV_THR = 0.5
+OV_VERT = 0.7
+
+
 def _words_to_cells(words: list[_Word]) -> list[TextCell]:
     """Rows by vertical overlap (>50% of the smaller height, the
     pypdfium row rule), then split each row into cells at gaps >
-    CELL_GAP em, keeping trailing whitespace runs as their own cells."""
+    CELL_GAP em plus the style/layer rules calibrated against the
+    reference's verify_cells goldens (see the threshold constants
+    above; aggregate deviation 28/1623 = 1.7%, 22/32 pages exact)."""
     if not words:
         return []
     rows: list[dict] = []
@@ -429,14 +468,52 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
                     r=max(w.r for w in part), t=max(w.t for w in part))))
 
     for row in sorted(rows, key=lambda r: -r["t"]):
-        rw = sorted(row["words"], key=lambda w: w.l)
+        rw = sorted(row["words"], key=lambda w: (w.l, w.run))
+        row_rtl = any(_direction(w.text) == -1 for w in rw)
+        # duplicate-space layer: a space word overlapping the row's
+        # already-covered span whose show-run is far from every
+        # non-space word's run was painted by a separate whitespace
+        # pass — docling-parse keeps it a separate textline cell.
+        # Skipped on RTL rows (their padded label fields are handled
+        # by the 1-em wide-space rule; the dup rule over-fired there)
+        if len(rw) > 1 and not row_rtl:
+            dups: list[_Word] = []
+            keep: list[_Word] = []
+            for i, w in enumerate(rw):
+                if w.is_space and i > 0:
+                    cov = max(x.r for x in rw[:i])
+                    ov = min(cov, w.r) - w.l
+                    if ov > 0.5 * max(w.r - w.l, 1e-6):
+                        others = [
+                            x for x in rw if x is not w and not x.is_space
+                        ]
+                        near = min(
+                            (abs(w.run - x.run) for x in others), default=0
+                        )
+                        if others and near >= DUP_SPACE_RUN_DIST:
+                            dups.append(w)
+                            continue
+                keep.append(w)
+            for d in dups:
+                emit([d])
+            rw = keep
+            if not rw:
+                continue
         # RTL rows (Arabic/Hebrew forms) segment on tighter whitespace:
         # form pages pad label fields with literal space runs of ~1 em,
-        # and docling-parse keeps each field its own cell (calibration:
-        # rtl pages' deviation 29 → 10 with the 1.0-em threshold + the
-        # rtl font splits below, every exact page held exact)
-        row_rtl = any(_direction(w.text) == -1 for w in rw)
+        # and docling-parse keeps each field its own cell
         wide_thr = 1.0 if row_rtl else 2.0
+        # TeX sentence-gap threshold for this row (see REL_* above)
+        thr_rel = None
+        if len(rw) > 2:
+            gaps: list[float] = []
+            r_run = rw[0].r
+            for i in range(1, len(rw)):
+                gaps.append((rw[i].l - r_run) / max(rw[i].size, 1e-6))
+                r_run = max(r_run, rw[i].r)
+            med = _median(gaps)
+            if med >= REL_MIN_MED:
+                thr_rel = max(REL_MIN_GAP, REL_RATIO * med)
         seg: list[_Word] = [rw[0]]
         seg_r = rw[0].r
         seg_dir = _direction(rw[0].text)
@@ -444,6 +521,7 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
         for w in rw[1:]:
             gap = w.l - seg_r
             w_dir = _direction(w.text)
+            em = max(w.size, 1e-6)
             # bidi boundary: a strong-direction change starts a new
             # textline cell (RTL pages interleave Arabic/Hebrew runs
             # with Latin identifiers; parsers segment at the switch)
@@ -451,50 +529,54 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
             # a wide whitespace run (checkbox fields, table gutters
             # filled with literal spaces) separates cells just like an
             # empty gap of the same width would
-            wide_space = w.is_space and (
-                (w.r - w.l) > wide_thr * max(w.size, 1e-6)
-            )
-            # a font switch (bold/italic/superscript runs) starts a new
-            # cell — docling-parse segments sanitized cells per style run
-            # (calibration: font splits moved the golden cell-count
-            # deviation 289 → 211 over the 32 reference pages, and
-            # allowing them on RTL pairs as well — originally suppressed
-            # — moved 174 → 155 once the 1-em rtl whitespace rule above
-            # handled the label fields)
-            font_break = (
-                not w.is_space
-                and w.font is not None
-                and seg_font is not None
-                and w.font is not seg_font
-                # in RTL rows, punctuation-only neutral runs set in a
-                # Latin font attach to the adjacent Arabic run (a lone
-                # '.' must not become its own cell); digits/identifiers
-                # still split per font
-                and not (
-                    row_rtl
-                    and (
-                        (
-                            w_dir == 0
-                            and len(w.text.strip()) <= 2
-                            and not _ALNUM_RE.search(w.text)
-                        )
-                        or (
-                            seg_dir == 0
-                            and 0
-                            < sum(len(x.text.strip()) for x in seg)
-                            <= 2
-                            and not any(
-                                _ALNUM_RE.search(x.text) for x in seg
-                            )
-                        )
+            wide_space = w.is_space and ((w.r - w.l) > wide_thr * em)
+            # in RTL rows, punctuation-only neutral runs set in a
+            # Latin font attach to the adjacent Arabic run (a lone
+            # '.' must not become its own cell); digits/identifiers
+            # still split per font
+            rtl_guard = (
+                row_rtl
+                and (
+                    (
+                        w_dir == 0
+                        and len(w.text.strip()) <= 2
+                        and not _ALNUM_RE.search(w.text)
+                    )
+                    or (
+                        seg_dir == 0
+                        and 0 < sum(len(x.text.strip()) for x in seg) <= 2
+                        and not any(_ALNUM_RE.search(x.text) for x in seg)
                     )
                 )
             )
+            # a font switch (bold/italic/superscript runs) starts a new
+            # cell — docling-parse segments sanitized cells per style
+            # run. On non-RTL rows this applies to SPACE words too (a
+            # list bullet's trailing space is set in the body font, a
+            # separate style run → its own cell boundary)
+            sp_ok = not row_rtl
+            font_break = (
+                (not w.is_space or sp_ok)
+                and w.font is not None
+                and seg_font is not None
+                and w.font is not seg_font
+                and not rtl_guard
+            )
+            rel_break = thr_rel is not None and gap > thr_rel * em
+            prev = seg[-1]
+            vint = min(prev.t, w.t) - max(prev.b, w.b)
+            vmin = min(prev.t - prev.b, w.t - w.b)
+            same_line = vmin > 0 and vint / vmin > OV_VERT
+            ov_break = (
+                not w.is_space and gap < -OV_THR * em and same_line
+            )
             if (
-                gap > CELL_GAP * max(w.size, 1e-6)
+                gap > CELL_GAP * em
                 or bidi
                 or wide_space
                 or font_break
+                or rel_break
+                or ov_break
             ):
                 emit(seg)
                 seg = [w]
@@ -507,10 +589,19 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
                     seg_r = w.r
                 if w_dir != 0:
                     seg_dir = w_dir
-                if not w.is_space and w.font is not None:
+                if w.font is not None and (not w.is_space or sp_ok):
                     seg_font = w.font
         emit(seg)
     return cells
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    if n == 0:
+        return 0.0
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
 
 
 def extract_pdf_pages(data: bytes, max_pages: int = 0) -> list[dict]:

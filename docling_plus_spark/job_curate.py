@@ -116,6 +116,60 @@ def _st_mixture(df: DataFrame, args) -> DataFrame:
     )
 
 
+def _emb_and_params(df: DataFrame, args):
+    """Read the --embeddings table and derive the ANN/SemDeDup params
+    from the measured corpus size (``ann.scale_params``) so per-bucket /
+    per-cluster populations stay constant as the corpus grows — the
+    BENCH.md §scale_params law. Two scalar actions (count + one head row
+    for the dimension), consistent with the funnel's own counting."""
+    from docling_plus_spark.operators.ann import scale_params
+
+    if not args.embeddings:
+        raise SystemExit(
+            "--embeddings required for the semdedup/embed_dedup stages"
+        )
+    emb = df.sparkSession.read.parquet(args.embeddings)
+    head = emb.select("embedding").head()
+    dim = len(head[0]) if head else 1
+    return emb, scale_params(emb.count(), dim=dim)
+
+
+def _st_semdedup(df: DataFrame, args) -> DataFrame:
+    """SemDeDup gate: drop documents whose embedding has a ≥tau cosine
+    twin with a lower id in the same k-means cluster. k is derived from
+    corpus size; documents without an embedding row pass through (there
+    is nothing to compare them against)."""
+    from docling_plus_spark.operators.cluster import semdedup
+
+    emb, p = _emb_and_params(df, args)
+    doomed = (
+        semdedup(emb, k=p["k_clusters"], tau=args.semdedup_tau, iters=2)
+        .filter(~F.col("kept"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return df.join(doomed, "doc_id", "left_anti")
+
+
+def _st_embed_dedup(df: DataFrame, args) -> DataFrame:
+    """LSH embedding near-duplicate gate: drop the higher-id member of
+    every pair with cosine ≥ --embed-threshold. (tables, bits) derived
+    from corpus size; pairs form only inside shared LSH buckets."""
+    from docling_plus_spark.operators.ann import embedding_near_dup
+
+    emb, p = _emb_and_params(df, args)
+    doomed = (
+        embedding_near_dup(
+            emb,
+            threshold=args.embed_threshold,
+            tables=p["tables"],
+            bits=p["bits"],
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return df.join(doomed, "doc_id", "left_anti")
+
+
 STAGES: dict[str, Callable] = {
     "gopher": _st_gopher,
     "c4": _st_c4,
@@ -124,6 +178,8 @@ STAGES: dict[str, Callable] = {
     "minhash_dedup": _st_minhash_dedup,
     "sample": _st_sample,
     "mixture": _st_mixture,
+    "semdedup": _st_semdedup,
+    "embed_dedup": _st_embed_dedup,
 }
 
 
@@ -138,6 +194,11 @@ def parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     p.add_argument("--minhash-threshold", type=float, default=0.7)
     p.add_argument("--mix-weights", default="",
                    help="source=frac,... targets for the mixture stage")
+    p.add_argument("--embeddings", default="",
+                   help="embeddings parquet (vec_id, embedding) keyed by "
+                        "doc_id — required for semdedup/embed_dedup")
+    p.add_argument("--semdedup-tau", type=float, default=0.97)
+    p.add_argument("--embed-threshold", type=float, default=0.95)
     return p.parse_args(argv)
 
 

@@ -120,6 +120,68 @@ def lsh_table_keys_sql(vec_expr: str, tables: int = 8, bits: int = 4) -> str:
     return f"[{keys}]"
 
 
+def scale_params(
+    n: int,
+    dim: int = 64,
+    tables: int = 8,
+    target_bucket: int = 64,
+    target_cluster: int = 256,
+) -> dict:
+    """Derive the ANN / SemDeDup parameter defaults from corpus size so
+    per-bucket / per-list / per-cluster populations stay ~constant as the
+    corpus grows — the scaling law the module docstrings state in prose
+    (``cosine_topk_ivf``: "size n_lists ~ sqrt(corpus) ... exactly as
+    FAISS does; the defaults here are test-scale").
+
+    Why: every operator in this family forms pairs *within* a bucket /
+    list / cluster, so total pair volume is Σ pop² ≈ n·pop. With FIXED
+    params, pop grows linearly in n and pair volume is Θ(n²) — the
+    BENCH.md §sf1 superlinear set (ann_topk_bucketed 37×, semdedup 26×
+    for 10× data). With populations pinned to a target, pair volume is
+    Θ(n).
+
+    Returned dict:
+
+    * ``bits`` — per-table LSH bucket bits: ceil(log2(n / target_bucket)),
+      so expected population n / 2^bits lands in [target/2, target].
+      Clamped to ``dim // tables`` because the deterministic quantizer
+      buckets on the sign of *raw dimensions* (table t owns dims
+      [t·bits, t·bits+bits)); a production deployment lifts that cap by
+      swapping :func:`sign_bucket` for seeded random-hyperplane signs
+      (any number of projections), which changes no plan shape.
+    * ``tables`` — passed through (recall knob: candidate recall is
+      1-(1-p)^tables; scale it for recall, not for cost).
+    * ``n_lists`` / ``nprobe`` — IVF coarse lists: max(16, round(√n))
+      (FAISS guidance). ``nprobe`` stays a *fixed* recall knob (4):
+      scaling it with n_lists would cancel the list growth and make the
+      scan Θ(n) again; candidates per query ≈ nprobe · n/n_lists = Θ(√n).
+      Tune nprobe against :func:`ann_recall` on a sampled slice, not
+      against corpus size.
+    * ``k_clusters`` — SemDeDup k-means k: ceil(n / target_cluster),
+      floor 8 — within-cluster pair work n·target instead of n²/k.
+
+    Pure arithmetic (no Spark action): callers that already know n pay
+    nothing; callers that don't, pay one ``count()`` scalar action.
+    The registry's driver queries keep the pinned test-scale defaults —
+    their DuckDB twins replay exact bucket ids, so the derivation is the
+    *production* entry, exercised by tools/bench_scaled_params.py at sf1
+    (measured: the 10×-data time ratio drops from 37×/26× to ~linear).
+    """
+    import math
+
+    n = max(int(n), 1)
+    bits_wanted = max(2, math.ceil(math.log2(max(n / target_bucket, 1.0))))
+    bits_cap = max(2, dim // max(tables, 1))
+    n_lists = max(16, int(round(math.sqrt(n))))
+    return {
+        "bits": min(bits_wanted, bits_cap),
+        "tables": tables,
+        "n_lists": n_lists,
+        "nprobe": 4,
+        "k_clusters": max(8, math.ceil(n / target_cluster)),
+    }
+
+
 def _lsh_candidates(
     emb: DataFrame,
     tables: int,

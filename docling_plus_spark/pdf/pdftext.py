@@ -618,9 +618,17 @@ def extract_pdf_pages(data: bytes, max_pages: int = 0) -> list[dict]:
         pages = pages[:max_pages]
     out: list[dict] = []
     for pno, page in enumerate(pages, start=1):
-        media = doc.resolve(page.get(Name("MediaBox"))) or [0, 0, 612, 792]
-        media = [float(doc.resolve(v) or 0) for v in media]
-        llx, lly, urx, ury = media[0], media[1], media[2], media[3]
+        # hostile-input contract: a mutated MediaBox (short array,
+        # non-numeric entries, wrong type) degrades to US-Letter, never
+        # raises — errors must become status rows, not job failures
+        media_raw = doc.resolve(page.get(Name("MediaBox")))
+        media = [0.0, 0.0, 612.0, 792.0]
+        if isinstance(media_raw, (list, tuple)) and len(media_raw) >= 4:
+            try:
+                media = [float(doc.resolve(v) or 0) for v in media_raw[:4]]
+            except (TypeError, ValueError):
+                media = [0.0, 0.0, 612.0, 792.0]
+        llx, lly, urx, ury = media
         w, h = abs(urx - llx), abs(ury - lly)
         rotate = int(doc.resolve(page.get(Name("Rotate"), 0)) or 0) % 360
         # base CTM maps PDF user space to a y-up frame with origin at

@@ -213,3 +213,50 @@ def test_gopher_ngram_repetition_short_doc(spark):
     r = gopher_ngram_repetition(df).collect()[0]
     # only a single 2-gram exists; n>=3 contribute zero
     assert r.top3 == 0.0 and r.dup5 == 0.0
+
+
+def test_curation_semdedup_and_embed_dedup_stages(spark, tmp_path):
+    """The semdedup/embed_dedup stages derive their params from the
+    measured corpus size (ann.scale_params) and gate the document table
+    by doc_id; documents without an embedding row pass through."""
+    import random
+
+    from docling_plus_spark.job_curate import (
+        _st_embed_dedup,
+        _st_semdedup,
+        parse_args,
+    )
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    # plant an exact duplicate pair (60, 61) — cosine 1.0 survives any gate
+    vecs[61] = (61, list(vecs[60][1]))
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).write.parquet(emb_path)
+    # 121st document has no embedding row at all
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(121)], "doc_id long, text string"
+    )
+
+    args = parse_args(
+        ["--input", "x", "--output", "y", "--embeddings", emb_path]
+    )
+    for stage in (_st_semdedup, _st_embed_dedup):
+        out = stage(docs, args)
+        kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert 60 in kept and 61 not in kept  # keep-lowest-id rule
+        assert 120 in kept  # no embedding -> passes through
+        # deterministic
+        kept2 = {r["doc_id"] for r in stage(docs, args).select("doc_id").collect()}
+        assert kept == kept2
+
+
+def test_curation_embedding_stages_require_embeddings_arg(spark):
+    from docling_plus_spark.job_curate import _st_semdedup, parse_args
+
+    args = parse_args(["--input", "x", "--output", "y"])
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(SystemExit):
+        _st_semdedup(docs, args)

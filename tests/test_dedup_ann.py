@@ -530,3 +530,95 @@ def test_containment_asymmetric(spark):
     r = containment_on_pairs(df, pairs, "id", "text").collect()[0]
     assert r["containment_a_in_b"] == 1.0
     assert r["containment_b_in_a"] < 0.2
+
+
+# ---------------------------------------------------------------------------
+# scale_params: the population-invariance law (BENCH.md §sf1 follow-up)
+
+
+def test_scale_params_bucket_population_pinned():
+    """Unclamped, expected per-table bucket population n / 2^bits stays
+    within [target/2, target] — so within-bucket pair volume is Θ(n)."""
+    from docling_plus_spark.operators.ann import scale_params
+
+    target = 64
+    for exp in range(8, 40):  # n from 256 up; huge dim removes the cap
+        n = 1 << exp
+        p = scale_params(n, dim=4096, tables=8, target_bucket=target)
+        pop = n / (1 << p["bits"])
+        assert target / 2 <= pop <= target, (n, p["bits"], pop)
+
+
+def test_scale_params_dim_cap_and_floors():
+    from docling_plus_spark.operators.ann import scale_params
+
+    # sign-of-dim quantizer: tables*bits can never exceed dim
+    p = scale_params(10**12, dim=64, tables=8)
+    assert p["bits"] == 64 // 8
+    for n in (0, 1, 100):  # tiny corpora hit every floor
+        p = scale_params(n, dim=64)
+        assert p["bits"] >= 2 and p["n_lists"] == 16
+        assert p["nprobe"] == 4 and p["k_clusters"] == 8
+
+
+def test_scale_params_pair_volume_linear_not_quadratic():
+    """The §sf1 finding, as arithmetic: 10× data → ≤~10× expected pair
+    volume with derived params, vs 100× with the fixed test defaults."""
+    from docling_plus_spark.operators.ann import scale_params
+
+    def pairs(n, bits, tables):  # tables · Σ_buckets pop² = tables · n·pop
+        return tables * n * (n / (1 << bits))
+
+    n = 1 << 20
+    lo, hi = (scale_params(m, dim=4096) for m in (n, 10 * n))
+    ratio_scaled = pairs(10 * n, hi["bits"], hi["tables"]) / pairs(
+        n, lo["bits"], lo["tables"]
+    )
+    ratio_fixed = pairs(10 * n, 4, 8) / pairs(n, 4, 8)
+    assert ratio_fixed == 100.0
+    assert ratio_scaled <= 20.0  # log2(10) isn't integral; ≤2× of linear
+
+
+def test_scale_params_ivf_candidates_sublinear():
+    """Candidates scanned per query ≈ nprobe · n/n_lists = Θ(√n)."""
+    from docling_plus_spark.operators.ann import scale_params
+
+    def cands(n):
+        p = scale_params(n)
+        return p["nprobe"] * n / p["n_lists"]
+
+    n = 1 << 22
+    assert cands(100 * n) / cands(n) <= 15  # √100 = 10, + rounding slack
+
+
+def test_scale_params_monotonic():
+    from docling_plus_spark.operators.ann import scale_params
+
+    prev = None
+    for exp in range(6, 41, 2):
+        p = scale_params(1 << exp, dim=4096)
+        if prev is not None:
+            for key in ("bits", "n_lists", "nprobe", "k_clusters"):
+                assert p[key] >= prev[key], (exp, key)
+        prev = p
+
+
+def test_scale_params_derived_lsh_still_finds_planted_pair(spark):
+    """End-to-end: derived (tables, bits) drive the real operator and the
+    planted near-duplicate survives bucketing."""
+    import random
+
+    from docling_plus_spark.operators.ann import embedding_near_dup, scale_params
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    near = [v + rng.uniform(-0.01, 0.01) for v in rows[3][1]]
+    rows.append((200, near))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = scale_params(len(rows), dim=64, target_bucket=32)
+    got = embedding_near_dup(
+        df, threshold=0.98, tables=p["tables"], bits=p["bits"]
+    ).collect()
+    assert any(r["id_a"] == 3 and r["id_b"] == 200 for r in got)

@@ -90,7 +90,11 @@ def main() -> None:
         }
 
     out: dict = {"n": ns, "queries": {}}
-    for name in runners(defaults):
+    if "--recall-only" in sys.argv:
+        runners_list = []  # skip the timing loops; recall section only
+    else:
+        runners_list = list(runners(defaults))
+    for name in runners_list:
         out["queries"][name] = {}
         for variant, pick in (
             ("default", lambda tag: defaults),
@@ -117,8 +121,12 @@ def main() -> None:
         ("default", defaults),
         ("scaled", params["sf01"]),
         # the documented remedy: tables is the recall knob — candidate
-        # recall ≈ 1-(1-p)^tables at ~linear cost, plan shape unchanged
-        ("scaled_tables16", {**params["sf01"], "tables": 16}),
+        # recall ≈ 1-(1-p)^tables at ~linear cost, plan shape unchanged.
+        # The deterministic sign-of-raw-dims quantizer needs
+        # tables·bits ≤ dim (scale_params docstring), so at dim=64 /
+        # bits=5 the max is 12 tables; past that a deployment swaps in
+        # seeded random-hyperplane signs.
+        ("scaled_tables12", {**params["sf01"], "tables": 12}),
     ):
         approx = {
             (r["id_a"], r["id_b"])

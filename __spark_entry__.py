@@ -1512,6 +1512,43 @@ def _q_media_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats_stage(synth_real_media(spark, sf_dir))
 
 
+def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode → 64-bit perceptual hash (dHash) per image;
+    planted brightness-shifted near-dups hash identically; the oracle
+    replays the integer pixel/gradient math with no decoder."""
+    from docling_plus_spark.operators.phash import (
+        image_dhash,
+        synth_pair_images,
+    )
+
+    return image_dhash(synth_pair_images(spark, sf_dir))
+
+
+def _q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style perceptual-hash image dedup: exact-dHash grouping,
+    lowest id kept; the one exchange carries (id, hash) pairs only."""
+    from docling_plus_spark.operators.phash import (
+        dhash_dedup,
+        image_dhash,
+        synth_pair_images,
+    )
+
+    return dhash_dedup(image_dhash(synth_pair_images(spark, sf_dir)))
+
+
+def _q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only dims + size/aspect gate over real PNG/GIF/BMP bytes:
+    pure whole-stage-codegen byte arithmetic, no decode, no Python —
+    the LAION metadata prefilter; the oracle replays the dimension
+    formula with no byte parsing."""
+    from docling_plus_spark.operators.imagemeta import (
+        image_dims_header,
+        synth_header_media,
+    )
+
+    return image_dims_header(synth_header_media(spark, sf_dir))
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import embedding_near_dup
 
@@ -3052,6 +3089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4-verified tranche ages at the tail. Ordering is generated from
     # the CORRECTNESS_r0{1..4}.json keys (latest round each query
     # appeared in), stable by prior registry order.
+        # never driver-checked (new in round 5):
+        "image_dhash": _q_image_dhash,
+        "image_dhash_dedup": _q_image_dhash_dedup,
+        "image_dims": _q_image_dims,
         "bitext_mine_ivf": _q_bitext_mine_ivf,
         # -- last driver row: r1 --
         "text_merge": _q_text_merge,
@@ -4042,6 +4083,9 @@ SELECT media_id, kind,
 FROM media
 """,
         "media_codec_stats": _media_codec_oracle(),
+        "image_dhash": _image_dhash_oracle(),
+        "image_dhash_dedup": _image_dhash_dedup_oracle(),
+        "image_dims": _image_dims_oracle(),
         "extract_fields": _fields_oracle(),
         "doc_chunks": """
 WITH base AS (
@@ -4445,6 +4489,24 @@ def _media_codec_oracle() -> str:
     from docling_plus_spark.operators.media_codecs import media_stats_oracle_sql
 
     return media_stats_oracle_sql()
+
+
+def _image_dhash_oracle() -> str:
+    from docling_plus_spark.operators.phash import image_dhash_sql
+
+    return image_dhash_sql()
+
+
+def _image_dhash_dedup_oracle() -> str:
+    from docling_plus_spark.operators.phash import dhash_dedup_sql
+
+    return dhash_dedup_sql()
+
+
+def _image_dims_oracle() -> str:
+    from docling_plus_spark.operators.imagemeta import image_dims_sql
+
+    return image_dims_sql()
 
 
 def _decontaminate_oracle() -> str:

@@ -150,8 +150,10 @@ MEDIA_STATS_SCHEMA = T.StructType(
 )
 
 
-def decode_bmp(blob: bytes):
-    """(w, h, mean_r, mean_g, mean_b) from real BMP bytes."""
+def bmp_pixel_array(blob: bytes):
+    """Real 24-bit BMP bytes → numpy (h, w, 3) uint8 array in B,G,R
+    channel order (top-down row order). Raises on anything that is not
+    a well-formed uncompressed 24-bit BMP."""
     import numpy as np
 
     if blob[:2] != b"BM" or len(blob) < 54:
@@ -170,6 +172,13 @@ def decode_bmp(blob: bytes):
     arr = arr.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
     if flipped:
         arr = arr[::-1]
+    return arr
+
+
+def decode_bmp(blob: bytes):
+    """(w, h, mean_r, mean_g, mean_b) from real BMP bytes."""
+    arr = bmp_pixel_array(blob)
+    h, w = arr.shape[0], arr.shape[1]
     means = arr.reshape(-1, 3).mean(axis=0)  # B, G, R channel order
     return w, h, float(means[2]), float(means[1]), float(means[0])
 

@@ -1,0 +1,117 @@
+"""Perceptual-hash image near-dup (operators/phash.py)."""
+
+import duckdb
+import pytest
+
+from docling_plus_spark.operators.media_codecs import bmp_pixel_array
+from docling_plus_spark.operators.phash import (
+    PAIR_MEDIA_SCHEMA,
+    dhash_dedup,
+    dhash_dedup_sql,
+    dhash_of_bmp,
+    image_dhash,
+    image_dhash_sql,
+    make_pair_bmp,
+    synth_pair_images,
+)
+from docling_plus_spark.plans import build_session
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_synth_is_real_bmp():
+    arr = bmp_pixel_array(make_pair_bmp(6))
+    # group 6: w = 6 % 8 + 9 = 15, h = 6 % 5 + 8 = 9
+    assert arr.shape == (9, 15, 3)
+
+
+def test_brightness_shift_preserves_hash():
+    # role 1 is the same image +BRIGHT_DELTA per channel: every
+    # horizontal gradient sign (and tie) is preserved, so the planted
+    # near-duplicate hashes identically for every group
+    for g in range(0, 60, 3):
+        base, near = dhash_of_bmp(make_pair_bmp(g)), dhash_of_bmp(
+            make_pair_bmp(g + 1)
+        )
+        assert base == near, f"group {g}"
+        assert make_pair_bmp(g) != make_pair_bmp(g + 1)  # bytes DO differ
+
+
+def test_unrelated_image_differs():
+    for g in range(0, 60, 3):
+        assert dhash_of_bmp(make_pair_bmp(g))[2] != dhash_of_bmp(
+            make_pair_bmp(g + 2)
+        )[2], f"group {g}"
+
+
+def test_hash_shape():
+    _, _, hx = dhash_of_bmp(make_pair_bmp(0))
+    assert len(hx) == 64 and set(hx) <= {"0", "1"}
+
+
+def test_decode_error_rows_not_failures(spark):
+    df = spark.createDataFrame(
+        [(1, make_pair_bmp(1)), (2, b"BMgarbage"), (3, None)],
+        PAIR_MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in image_dhash(df).collect()}
+    assert out[1].status == "decoded" and len(out[1].dhash) == 64
+    assert out[2].status == "decode_error" and out[2].dhash is None
+    assert out[3].status == "decode_error"
+
+
+def test_dedup_marks_planted_pair(spark):
+    ids = [0, 1, 2, 30, 31]
+    df = spark.createDataFrame(
+        [(i, make_pair_bmp(i)) for i in ids], PAIR_MEDIA_SCHEMA
+    )
+    rows = {r.media_id: r for r in dhash_dedup(image_dhash(df)).collect()}
+    assert not rows[0].is_dup and rows[1].is_dup        # planted pair
+    assert rows[0].dhash == rows[1].dhash
+    assert not rows[30].is_dup and rows[31].is_dup
+    assert rows[2].dhash != rows[0].dhash               # unrelated image
+    assert not rows[2].is_dup
+
+
+def test_hash_stage_is_narrow(spark):
+    df = image_dhash(synth_pair_images(spark, SF))
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # decode+hash never shuffles: the only Exchange is read_split's
+    # round-robin re-spread of the single-row-group test parquet
+    # (web_pages.py:read_split), never a hash partitioning
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("RoundRobinPartitioning") == 1
+
+
+def test_twin_parity(spark):
+    got = sorted(
+        tuple(r)
+        for r in image_dhash(synth_pair_images(spark, SF)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    oracle = sorted(tuple(r) for r in con.execute(image_dhash_sql()).fetchall())
+    assert oracle == got
+
+    got_dd = sorted(
+        tuple(r)
+        for r in dhash_dedup(
+            image_dhash(synth_pair_images(spark, SF))
+        ).collect()
+    )
+    oracle_dd = sorted(tuple(r) for r in con.execute(dhash_dedup_sql()).fetchall())
+    assert oracle_dd == got_dd

@@ -1536,6 +1536,17 @@ def _q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_dedup(image_dhash(synth_pair_images(spark, sf_dir)))
 
 
+def _q_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene audit: declared `lang` vs stopword langid vs
+    dominant writing system — crawl metadata lies (CCNet's motivation
+    for fitting its own langid); one verdict column per document, all
+    scan-stage codegen."""
+    from docling_plus_spark.operators.quality import lang_consistency
+    from docling_plus_spark.sources.web_pages import read_documents
+
+    return lang_consistency(read_documents(spark, sf_dir))
+
+
 def _q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only dims + size/aspect gate over real PNG/GIF/BMP bytes:
     pure whole-stage-codegen byte arithmetic, no decode, no Python —
@@ -3093,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": _q_image_dhash,
         "image_dhash_dedup": _q_image_dhash_dedup,
         "image_dims": _q_image_dims,
+        "lang_consistency": _q_lang_consistency,
         "bitext_mine_ivf": _q_bitext_mine_ivf,
         # -- last driver row: r1 --
         "text_merge": _q_text_merge,
@@ -4086,6 +4098,7 @@ FROM media
         "image_dhash": _image_dhash_oracle(),
         "image_dhash_dedup": _image_dhash_dedup_oracle(),
         "image_dims": _image_dims_oracle(),
+        "lang_consistency": _lang_consistency_oracle(),
         "extract_fields": _fields_oracle(),
         "doc_chunks": """
 WITH base AS (
@@ -4507,6 +4520,12 @@ def _image_dims_oracle() -> str:
     from docling_plus_spark.operators.imagemeta import image_dims_sql
 
     return image_dims_sql()
+
+
+def _lang_consistency_oracle() -> str:
+    from docling_plus_spark.operators.quality import lang_consistency_sql
+
+    return lang_consistency_sql(_langid_sql("text"))
 
 
 def _decontaminate_oracle() -> str:

@@ -798,15 +798,24 @@ def script_composition(
         F.round(counts[name].cast("double") / denom, 6).alias(f"{name}_frac")
         for name, _, _ in SCRIPT_CLASSES
     ]
-    # argmax script by count, ties by declaration order; all-zero -> other
+    cols.append(main_script_expr(t).alias("main_script"))
+    return df.select(*cols)
+
+
+def main_script_expr(t: Column) -> Column:
+    """Argmax writing system by per-script char count, ties by
+    SCRIPT_CLASSES declaration order; all-zero → 'other'."""
+    counts = {
+        name: F.regexp_count(t, F.lit(java)).cast("long")
+        for name, java, _ in SCRIPT_CLASSES
+    }
     best = F.greatest(*[counts[n] for n, _, _ in SCRIPT_CLASSES])
     main = F.lit("other")
     for name, _, _ in reversed(SCRIPT_CLASSES):
         main = F.when(
             (best > 0) & (counts[name] == best), F.lit(name)
         ).otherwise(main)
-    cols.append(main.alias("main_script"))
-    return df.select(*cols)
+    return main
 
 
 def script_composition_sql(
@@ -824,17 +833,133 @@ def script_composition_sql(
         f"round({cnt[name]} / greatest({nws}, 1)::double, 6) AS {name}_frac"
         for name, _, _ in SCRIPT_CLASSES
     )
+    return f"""
+SELECT {id_expr} AS id,
+       {nws}::bigint AS n_chars,
+       {fracs},
+       {main_script_sql(text_expr)} AS main_script
+FROM {table}
+"""
+
+
+def main_script_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`main_script_expr`."""
+    cnt = {
+        name: rf"len(regexp_extract_all({text_expr}, '{re2}'))::bigint"
+        for name, _, re2 in SCRIPT_CLASSES
+    }
     best = f"greatest({', '.join(cnt[n] for n, _, _ in SCRIPT_CLASSES)})"
     main = f"CASE WHEN {best} = 0 THEN 'other' "
     for name, _, _ in SCRIPT_CLASSES:
         main += f"WHEN {cnt[name]} = {best} THEN '{name}' "
     main += "ELSE 'other' END"
+    return main
+
+
+# ---------------------------------------------------------------------------
+# Declared-language vs content consistency (corpus-hygiene audit).
+# Crawl metadata lies: Common Crawl's `content-language` and page
+# `lang=` attributes routinely disagree with the text (CCNet fits its
+# fastText langid precisely because declared labels can't be trusted).
+# This gate cross-checks the table's declared `lang` column against two
+# content signals already in this module's family — the stopword langid
+# and the dominant writing system — and emits one verdict per document.
+# Pure codegen columns, zero shuffle.
+
+# declared lang → the writing system its text must dominate in
+EXPECTED_SCRIPT = {
+    "en": "latin", "es": "latin", "de": "latin", "fr": "latin",
+    "ru": "cyrillic", "el": "greek", "ar": "arabic",
+    "zh": "cjk", "ja": "cjk", "ko": "cjk",
+}
+# languages the stopword langid can actually discriminate
+LANGID_SUPPORTED = ("en", "es", "de", "fr")
+
+
+def lang_consistency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, lang, lang_pred, main_script, verdict): per-document audit
+    of the declared language against the text.  Verdict precedence
+    (deterministic, twin-replayed):
+
+    * ``script_mismatch`` — declared lang maps to a known writing
+      system and the dominant script is a different one (the strongest
+      signal: no stopword list needed, works for all languages);
+    * ``undetermined`` — langid covers the declared lang but found no
+      stopword hits at all (too short / non-linguistic);
+    * ``langid_mismatch`` — langid covers the declared lang and
+      confidently predicts a different supported language;
+    * ``agree`` — everything else (including langs the heuristics
+      cannot check; absence of evidence is not a mismatch).
+    """
+    from docling_plus_spark.functions.expressions import langid_expr
+
+    t = F.col(text_col)
+    lang = F.col(lang_col)
+    pred = langid_expr(t)
+    script = main_script_expr(t)
+    expected = F.lit(None).cast("string")
+    for lg, sc in EXPECTED_SCRIPT.items():
+        expected = F.when(lang == lg, F.lit(sc)).otherwise(expected)
+    supported = lang.isin(*LANGID_SUPPORTED)
+    verdict = (
+        F.when(
+            expected.isNotNull() & (script != expected),
+            F.lit("script_mismatch"),
+        )
+        .when(supported & (pred == "und"), F.lit("undetermined"))
+        .when(supported & (pred != lang), F.lit("langid_mismatch"))
+        .otherwise(F.lit("agree"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        lang.alias("lang"),
+        pred.alias("lang_pred"),
+        script.alias("main_script"),
+        verdict.alias("verdict"),
+    )
+
+
+def lang_consistency_sql(
+    langid_sql_expr: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    lang_expr: str = "lang",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`lang_consistency`.  ``langid_sql_expr`` is
+    the caller-supplied SQL twin of ``langid_expr`` over the same text
+    (it lives with the langid oracle, not here)."""
+    expected = "CASE " + " ".join(
+        f"WHEN {lang_expr} = '{lg}' THEN '{sc}'"
+        for lg, sc in EXPECTED_SCRIPT.items()
+    ) + " ELSE NULL END"
+    # evaluated in the outer SELECT, over sig's aliased `lang` column
+    supported = "(" + " OR ".join(
+        f"lang = '{lg}'" for lg in LANGID_SUPPORTED
+    ) + ")"
     return f"""
-SELECT {id_expr} AS id,
-       {nws}::bigint AS n_chars,
-       {fracs},
-       {main} AS main_script
-FROM {table}
+WITH sig AS (
+  SELECT {id_expr} AS id, {lang_expr} AS lang,
+         {langid_sql_expr} AS lang_pred,
+         {main_script_sql(text_expr)} AS main_script,
+         {expected} AS expected
+  FROM {table}
+)
+SELECT id, lang, lang_pred, main_script,
+       CASE WHEN expected IS NOT NULL AND main_script != expected
+                 THEN 'script_mismatch'
+            WHEN {supported} AND lang_pred = 'und'
+                 THEN 'undetermined'
+            WHEN {supported} AND lang_pred != lang
+                 THEN 'langid_mismatch'
+            ELSE 'agree'
+       END AS verdict
+FROM sig
 """
 
 

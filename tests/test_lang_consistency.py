@@ -1,0 +1,102 @@
+"""Declared-lang vs content audit (operators/quality.py:lang_consistency)."""
+
+import duckdb
+import pytest
+
+from docling_plus_spark.operators.quality import (
+    lang_consistency,
+    lang_consistency_sql,
+)
+from docling_plus_spark.plans import build_session
+
+SF = "/root/testdata/sf0.001"
+
+ROWS = [
+    # (id, text, declared) → expected verdict
+    (1, "the cat and the dog is of note to all", "en"),   # agree
+    (2, "the cat and the dog is of note to all", "fr"),   # langid_mismatch
+    (3, "plain latin text here", "zh"),                   # script_mismatch
+    (4, "xyzzy plugh qwop", "en"),                        # undetermined
+    (5, "Привет мир Привет мир", "ru"),                   # agree (cyrillic)
+    (6, "Привет мир Привет мир", "en"),                   # script_mismatch
+    (7, "texto corto sin marcas", "pt"),                  # agree (uncheckable)
+    (8, "!!! ??? ...", "en"),                             # script_mismatch
+]
+WANT = {
+    1: "agree",
+    2: "langid_mismatch",
+    3: "script_mismatch",
+    4: "undetermined",
+    5: "agree",
+    6: "script_mismatch",
+    7: "agree",
+    8: "script_mismatch",
+}
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t, lg) for i, t, lg in ROWS], "doc_id long, text string, lang string"
+    )
+
+
+def test_verdicts(spark):
+    out = {r.id: r.verdict for r in lang_consistency(_df(spark)).collect()}
+    assert out == WANT
+
+
+def test_twin_parity_hand_rows(spark):
+    import __spark_entry__ as e
+
+    got = sorted(map(tuple, lang_consistency(_df(spark)).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text, lang)"
+        % ", ".join("(%d, '%s', '%s')" % r for r in ROWS)
+    )
+    want = sorted(
+        map(tuple, con.execute(e.oracle_sql()["lang_consistency"]).fetchall())
+    )
+    assert got == want
+
+
+def test_twin_parity_sf(spark):
+    from __spark_entry__ import _langid_sql
+    from docling_plus_spark.sources.web_pages import read_documents
+
+    got = sorted(
+        map(tuple, lang_consistency(read_documents(spark, SF)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(lang_consistency_sql(_langid_sql("text"))).fetchall(),
+        )
+    )
+    assert got == want
+    # the synthetic corpus is English word soup under every label:
+    # every declared-zh doc must flag script_mismatch
+    zh = [r for r in got if r[1] == "zh"]
+    assert zh and all(r[4] == "script_mismatch" for r in zh)
+
+
+def test_pure_codegen(spark):
+    out = lang_consistency(_df(spark))
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -78,6 +78,26 @@ def _st_minhash_dedup(df: DataFrame, args) -> DataFrame:
     return df.join(keep.select(F.col("keep_id").alias("doc_id")), "doc_id")
 
 
+def _st_lang_gate(df: DataFrame, args) -> DataFrame:
+    """Drop documents whose declared lang contradicts the content
+    (operators/quality.py:lang_consistency): script_mismatch always
+    goes; langid_mismatch goes too unless --keep-langid-mismatch.
+    Documents without a lang column pass through untouched."""
+    if "lang" not in df.columns:
+        return df
+    from docling_plus_spark.operators.quality import lang_consistency
+
+    bad = ("script_mismatch",) if args.keep_langid_mismatch else (
+        "script_mismatch", "langid_mismatch",
+    )
+    doomed = (
+        lang_consistency(df, "doc_id", "text", "lang")
+        .filter(F.col("verdict").isin(*bad))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return df.join(doomed, "doc_id", "left_anti")
+
+
 def _st_sample(df: DataFrame, args) -> DataFrame:
     # deterministic hash-Bernoulli keep (zero shuffle)
     bound = int(args.sample_rate * (1 << 24))
@@ -176,6 +196,7 @@ STAGES: dict[str, Callable] = {
     "classifier": _st_classifier,
     "exact_dedup": _st_exact_dedup,
     "minhash_dedup": _st_minhash_dedup,
+    "lang_gate": _st_lang_gate,
     "sample": _st_sample,
     "mixture": _st_mixture,
     "semdedup": _st_semdedup,
@@ -197,6 +218,9 @@ def parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     p.add_argument("--embeddings", default="",
                    help="embeddings parquet (vec_id, embedding) keyed by "
                         "doc_id — required for semdedup/embed_dedup")
+    p.add_argument("--keep-langid-mismatch", action="store_true",
+                   help="lang_gate drops script_mismatch only (langid "
+                        "disagreement is softer evidence)")
     p.add_argument("--semdedup-tau", type=float, default=0.97)
     p.add_argument("--embed-threshold", type=float, default=0.95)
     return p.parse_args(argv)

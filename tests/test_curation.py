@@ -260,3 +260,30 @@ def test_curation_embedding_stages_require_embeddings_arg(spark):
     docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     with pytest.raises(SystemExit):
         _st_semdedup(docs, args)
+
+
+def test_curation_lang_gate_stage(spark):
+    from docling_plus_spark.job_curate import _st_lang_gate, parse_args
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is of note to all", "en"),  # agree
+            (2, "the cat and the dog is of note to all", "fr"),  # langid_mism.
+            (3, "plain latin text here", "zh"),                  # script_mism.
+            (4, "xyzzy plugh qwop", "en"),                       # undetermined
+        ],
+        "doc_id long, text string, lang string",
+    )
+    args = parse_args(["--input", "x", "--output", "y"])
+    kept = {r.doc_id for r in _st_lang_gate(docs, args).collect()}
+    assert kept == {1, 4}  # both mismatch classes dropped by default
+
+    soft = parse_args(
+        ["--input", "x", "--output", "y", "--keep-langid-mismatch"]
+    )
+    kept_soft = {r.doc_id for r in _st_lang_gate(docs, soft).collect()}
+    assert kept_soft == {1, 2, 4}  # only the script contradiction goes
+
+    # documents table without a lang column passes through untouched
+    nolang = docs.drop("lang")
+    assert _st_lang_gate(nolang, args).count() == 4

@@ -1560,6 +1560,22 @@ def _q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dims_header(synth_header_media(spark, sf_dir))
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP nearest-neighbour resize (brief §multimodal 'resize'):
+    decode → sample → re-encode real BMP bytes; the oracle replays the
+    sampled-pixel channel means with no decoder (the output bytes are
+    round-trip-proven in tests/test_media_codecs.py; SQL cannot
+    re-encode a BMP, so the query projects the stats columns)."""
+    from docling_plus_spark.operators.media_codecs import (
+        media_resize_stage,
+        synth_real_media,
+    )
+
+    return media_resize_stage(synth_real_media(spark, sf_dir)).drop(
+        "media_out"
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.ann import embedding_near_dup
 
@@ -3105,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dedup": _q_image_dhash_dedup,
         "image_dims": _q_image_dims,
         "lang_consistency": _q_lang_consistency,
+        "media_resize": _q_media_resize,
         "bitext_mine_ivf": _q_bitext_mine_ivf,
         # -- last driver row: r1 --
         "text_merge": _q_text_merge,
@@ -4099,6 +4116,7 @@ FROM media
         "image_dhash_dedup": _image_dhash_dedup_oracle(),
         "image_dims": _image_dims_oracle(),
         "lang_consistency": _lang_consistency_oracle(),
+        "media_resize": _media_resize_oracle(),
         "extract_fields": _fields_oracle(),
         "doc_chunks": """
 WITH base AS (
@@ -4520,6 +4538,14 @@ def _image_dims_oracle() -> str:
     from docling_plus_spark.operators.imagemeta import image_dims_sql
 
     return image_dims_sql()
+
+
+def _media_resize_oracle() -> str:
+    from docling_plus_spark.operators.media_codecs import (
+        media_resize_oracle_sql,
+    )
+
+    return media_resize_oracle_sql()
 
 
 def _lang_consistency_oracle() -> str:

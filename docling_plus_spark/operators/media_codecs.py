@@ -238,6 +238,130 @@ def media_stats_stage(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, MEDIA_STATS_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real image resize (brief §multimodal: decode / feature-extract /
+# resize / frame-sample — this is the resize leg). Nearest-neighbour
+# sampling so the output pixel values are exact integers the oracle can
+# replay; output is a REAL re-encoded BMP, round-trip proven in tests.
+# Narrow mapInPandas: bytes in, bytes out, zero shuffle.
+
+RESIZE_W, RESIZE_H = 8, 6
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),       # output dims
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),       # over resized pixels
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("media_out", T.BinaryType()),    # real BMP bytes
+    ]
+)
+
+
+def resize_bmp(blob: bytes, out_w: int, out_h: int):
+    """Nearest-neighbour resize of real BMP bytes → (real BMP bytes,
+    mean_r, mean_g, mean_b of the resized pixels)."""
+    import numpy as np
+
+    arr = bmp_pixel_array(blob)                        # (h, w, 3) BGR
+    h, w = arr.shape[0], arr.shape[1]
+    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    small = arr[np.ix_(sy, sx)]                        # (out_h, out_w, 3)
+    row_len = (out_w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(out_h - 1, -1, -1):                 # bottom-up
+        row = small[y].tobytes()
+        img += row + b"\x00" * (row_len - len(row))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    means = small.reshape(-1, 3).mean(axis=0)          # B, G, R order
+    return bytes(header + img), float(means[2]), float(means[1]), float(means[0])
+
+
+def media_resize_stage(
+    media: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
+) -> DataFrame:
+    """Resize every image to (out_w, out_h); non-images become
+    ``not_image`` rows, corrupt bytes ``decode_error`` rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for mid, mime, blob in zip(
+                pdf["media_id"], pdf["mime"], pdf["media"]
+            ):
+                status = "resized"
+                mr = mg = mb = None
+                out = None
+                if mime != "image/bmp":
+                    status = "not_image"
+                else:
+                    try:
+                        out, mr, mg, mb = resize_bmp(
+                            bytes(blob or b""), out_w, out_h
+                        )
+                    except Exception:  # noqa: BLE001 — corrupt → row
+                        status = "decode_error"
+                ok = status == "resized"
+                rows["media_id"].append(mid)
+                rows["status"].append(status)
+                rows["width"].append(out_w if ok else 0)
+                rows["height"].append(out_h if ok else 0)
+                rows["mean_r"].append(mr if ok else None)
+                rows["mean_g"].append(mg if ok else None)
+                rows["mean_b"].append(mb if ok else None)
+                rows["media_out"].append(out if ok else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def media_resize_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of ``media_resize_stage(synth_real_media(...))``
+    minus the opaque ``media_out`` bytes: replays the generative pixel
+    formula at the nearest-neighbour sample coordinates.  (The bytes
+    themselves are round-trip-proven Spark-side in
+    tests/test_media_codecs.py — SQL cannot re-encode a BMP.)"""
+    return f"""
+WITH ids AS (SELECT doc_id AS i FROM {table}),
+bmp AS (
+  SELECT i, i % {BMP_W_MOD} + 1 AS w, i % {BMP_H_MOD} + 1 AS h
+  FROM ids WHERE i % 2 = 0 AND i % 97 != 3
+),
+px AS (
+  SELECT b.i,
+         ((b.i + 3 * sx + 7 * sy) % 256) AS pb,
+         ((2 * b.i + 5 * sx + sy) % 256) AS pg,
+         ((3 * b.i + sx + 11 * sy) % 256) AS pr
+  FROM bmp b
+  CROSS JOIN (SELECT unnest(range(0, {RESIZE_W})) AS x) x
+  CROSS JOIN (SELECT unnest(range(0, {RESIZE_H})) AS y) y
+  CROSS JOIN LATERAL (SELECT (x.x * b.w) // {RESIZE_W} AS sx,
+                             (y.y * b.h) // {RESIZE_H} AS sy) s
+),
+ok AS (
+  SELECT i AS media_id, 'resized' AS status,
+         {RESIZE_W} AS width, {RESIZE_H} AS height,
+         avg(pr) AS mean_r, avg(pg) AS mean_g, avg(pb) AS mean_b
+  FROM px GROUP BY i
+)
+SELECT * FROM ok
+UNION ALL
+SELECT i, 'decode_error', 0, 0, NULL, NULL, NULL
+FROM ids WHERE i % 97 = 3            -- corrupt rows carry image/bmp mime
+UNION ALL
+SELECT i, 'not_image', 0, 0, NULL, NULL, NULL
+FROM ids WHERE i % 2 = 1 AND i % 97 != 3
+"""
+
+
 def media_stats_oracle_sql(table: str = "documents") -> str:
     """DuckDB twin: replays the generative formulas (no decoder) —
     pixel channel means over the (x, y) grid and sample RMS/ZCR over

@@ -91,3 +91,54 @@ def test_media_stats_match_duckdb_formula_oracle(spark):
             if k == "media_id":
                 continue
             assert mine[k] == v, (rec["media_id"], k, mine[k], v)
+
+
+def test_resize_round_trip_and_sampling():
+    """Resized output is itself a real BMP whose pixels are exactly the
+    nearest-neighbour samples of the source."""
+    import numpy as np
+
+    from docling_plus_spark.operators.media_codecs import (
+        RESIZE_H,
+        RESIZE_W,
+        bmp_pixel_array,
+        make_bmp,
+        resize_bmp,
+    )
+
+    src = make_bmp(42)
+    out, mr, mg, mb = resize_bmp(src, RESIZE_W, RESIZE_H)
+    arr = bmp_pixel_array(out)
+    assert arr.shape == (RESIZE_H, RESIZE_W, 3)
+    big = bmp_pixel_array(src)
+    h, w = big.shape[0], big.shape[1]
+    sx = (np.arange(RESIZE_W, dtype=np.int64) * w) // RESIZE_W
+    sy = (np.arange(RESIZE_H, dtype=np.int64) * h) // RESIZE_H
+    assert (arr == big[np.ix_(sy, sx)]).all()
+    means = arr.reshape(-1, 3).mean(axis=0)      # B, G, R
+    assert (mr, mg, mb) == (means[2], means[1], means[0])
+
+
+def test_resize_twin_parity(spark):
+    from docling_plus_spark.operators.media_codecs import (
+        media_resize_oracle_sql,
+        media_resize_stage,
+    )
+
+    rows = media_resize_stage(synth_real_media(spark, SF)).collect()
+    got = sorted(
+        (r.media_id, r.status, r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+        for r in rows
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(media_resize_oracle_sql()).fetchall()
+    )
+    assert got == want
+    # errors are rows: corrupt image bytes and audio rows both present
+    statuses = {r.status for r in rows}
+    assert statuses == {"resized", "decode_error", "not_image"}

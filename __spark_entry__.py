@@ -3110,12 +3110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDERING CONTRACT: the driver's CORRECTNESS gate checks the FIRST
     # ~50 entries in dict order. Round-5 curation (VERDICT r4 item 6):
-    # least-recently-driver-verified first — (1) bitext_mine_ivf, the
-    # only never-checked query (new this round); (2) the 16 queries
-    # whose last driver row is r1; (3) the r2-green batch. The freshly
-    # r4-verified tranche ages at the tail. Ordering is generated from
-    # the CORRECTNESS_r0{1..4}.json keys (latest round each query
-    # appeared in), stable by prior registry order.
+    # least-recently-driver-verified first — (1) the 6 never-checked
+    # queries (the round-5 image/lang tranche + bitext_mine_ivf);
+    # (2) the 16 queries whose last driver row is r1; (3) the r2-green
+    # batch. The freshly r4-verified tranche ages at the tail. Ordering
+    # is generated from the CORRECTNESS_r0{1..4}.json keys (latest
+    # round each query appeared in), stable by prior registry order.
         # never driver-checked (new in round 5):
         "image_dhash": _q_image_dhash,
         "image_dhash_dedup": _q_image_dhash_dedup,
@@ -3170,11 +3170,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_near": _q_simhash_near,
         "ann_topk": _q_ann_topk,
+        # ---- ~50-query window boundary ---- (5 round-5 additions at
+        # the front pushed ann_topk_bucketed/ann_topk_ivf/gopher_quality/
+        # c4_clean just past it; all four are r2+r4-green, the right
+        # staleness trade for 5 never-checked queries)
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
-        # ---- ~50-query window boundary ----
         "pii_redact": _q_pii_redact,
         "url_dedup": _q_url_dedup,
         "paragraph_dedup": _q_paragraph_dedup,

@@ -1417,6 +1417,33 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(d, "doc_id", "text")
 
 
+_SURT_SYNTH_SPARK = (
+    "concat('https://', CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN concat('www.news', doc_id % 5, '.Example.com') "
+    "WHEN 1 THEN 'Blog.Example.org:8080' ELSE 'cdn.example.net' END, "
+    "'/Articles/', doc_id % 50, '?b=', doc_id % 7, '&utm_source=x&a=2#s')"
+)
+_SURT_SYNTH_SQL = (
+    "('https://' || CASE (doc_id % 3) "
+    "WHEN 0 THEN ('www.news' || (doc_id % 5) || '.Example.com') "
+    "WHEN 1 THEN 'Blog.Example.org:8080' ELSE 'cdn.example.net' END || "
+    "'/Articles/' || (doc_id % 50) || '?b=' || (doc_id % 7) || "
+    "'&utm_source=x&a=2#s')"
+)
+
+
+def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT CDX sort keys (webclean.surt_key) over synthesized varied
+    URLs: reversed-host range-scannable keys — the 10^12-row crawl
+    index's physical order; pure codegen, zero shuffle."""
+    from docling_plus_spark.operators.webclean import surt_key
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SURT_SYNTH_SPARK).alias("url")
+    )
+    return d.select("doc_id", "url", surt_key(F.col("url")).alias("surt"))
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_plus_spark.operators.webclean import url_dedup
 
@@ -3110,8 +3137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDERING CONTRACT: the driver's CORRECTNESS gate checks the FIRST
     # ~50 entries in dict order. Round-5 curation (VERDICT r4 item 6):
-    # least-recently-driver-verified first — (1) the 6 never-checked
-    # queries (the round-5 image/lang tranche + bitext_mine_ivf);
+    # least-recently-driver-verified first — (1) the 7 never-checked
+    # queries (the round-5 image/lang/surt tranche + bitext_mine_ivf);
     # (2) the 16 queries whose last driver row is r1; (3) the r2-green
     # batch. The freshly r4-verified tranche ages at the tail. Ordering
     # is generated from the CORRECTNESS_r0{1..4}.json keys (latest
@@ -3122,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dims": _q_image_dims,
         "lang_consistency": _q_lang_consistency,
         "media_resize": _q_media_resize,
+        "surt_keys": _q_surt_keys,
         "bitext_mine_ivf": _q_bitext_mine_ivf,
         # -- last driver row: r1 --
         "text_merge": _q_text_merge,
@@ -3169,11 +3197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "simhash_near": _q_simhash_near,
+        # ---- ~50-query window boundary ---- (6 round-5 additions at
+        # the front pushed ann_topk/ann_topk_bucketed/ann_topk_ivf/
+        # gopher_quality/c4_clean just past it; all five are r2-or-later
+        # green, the right staleness trade for 6 never-checked queries)
         "ann_topk": _q_ann_topk,
-        # ---- ~50-query window boundary ---- (5 round-5 additions at
-        # the front pushed ann_topk_bucketed/ann_topk_ivf/gopher_quality/
-        # c4_clean just past it; all four are r2+r4-green, the right
-        # staleness trade for 5 never-checked queries)
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "gopher_quality": _q_gopher_quality,
@@ -4120,6 +4148,7 @@ FROM media
         "image_dims": _image_dims_oracle(),
         "lang_consistency": _lang_consistency_oracle(),
         "media_resize": _media_resize_oracle(),
+        "surt_keys": _surt_keys_oracle(),
         "extract_fields": _fields_oracle(),
         "doc_chunks": """
 WITH base AS (
@@ -4541,6 +4570,16 @@ def _image_dims_oracle() -> str:
     from docling_plus_spark.operators.imagemeta import image_dims_sql
 
     return image_dims_sql()
+
+
+def _surt_keys_oracle() -> str:
+    from docling_plus_spark.operators.webclean import surt_key_sql
+
+    return (
+        "SELECT doc_id, " + _SURT_SYNTH_SQL + " AS url, "
+        + surt_key_sql(_SURT_SYNTH_SQL)
+        + " AS surt FROM documents"
+    )
 
 
 def _media_resize_oracle() -> str:

@@ -162,6 +162,72 @@ def canonical_url_sql(url_expr: str) -> str:
     return f"({lh} || {path} || {tail})"
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the Common
+    Crawl CDX index sort key (``com,example)/path?a=1&b=2``): all URLs
+    of one registered domain become one contiguous key range, which is
+    what makes per-domain range scans over a 10^12-row index possible.
+
+    Applied on top of :func:`canonical_url` (fragment / default-port /
+    tracking-param strip), then, per the ``surt`` library's default
+    canonicalization used by Common Crawl's indexer:
+
+    1. drop the scheme, drop one leading ``www.``;
+    2. reverse the host labels and join with commas (port kept);
+    3. lowercase path and query; empty path becomes ``/``;
+    4. sort query parameters bytewise.
+
+    Pure column expressions — whole-stage codegen, zero Python.
+    Userinfo (``user:pass@``) is not handled (absent from crawl data).
+    """
+    u = canonical_url(url)
+    after = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    hostport = F.regexp_extract(after, r"^([^/?]*)", 1)
+    rest = F.substring(after, F.length(hostport) + 1, F.lit(1 << 30))
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    port = F.substring(hostport, F.length(host) + 1, F.lit(1 << 30))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.regexp_extract(rest, r"^([^?]*)", 1))
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    query = F.lower(
+        F.substring(rest, F.length(F.regexp_extract(rest, r"^([^?]*)", 1)) + 2,
+                    F.lit(1 << 30))
+    )
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: F.length(p) > 0)
+    )
+    tail = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(rev, port, F.lit(")"), path, tail)
+
+
+def surt_key_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`surt_key` (expression, not a SELECT)."""
+    u = canonical_url_sql(url_expr)
+    after = f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '')"
+    hostport = f"regexp_extract({after}, '^([^/?]*)', 1)"
+    rest = f"substr({after}, length({hostport}) + 1)"
+    host = f"regexp_replace({hostport}, ':[0-9]+$', '')"
+    port = f"substr({hostport}, length({host}) + 1)"
+    host = f"regexp_replace({host}, '^www\\.', '')"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    rawpath = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    path = f"CASE WHEN length({rawpath}) = 0 THEN '/' ELSE lower({rawpath}) END"
+    query = f"lower(substr({rest}, length({rawpath}) + 2))"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> length(p) > 0))"
+    )
+    tail = (
+        f"CASE WHEN len({params}) > 0 "
+        f"THEN '?' || list_aggregate({params}, 'string_agg', '&') "
+        f"ELSE '' END"
+    )
+    return f"({rev} || {port} || ')' || {path} || {tail})"
+
+
 def url_dedup(
     df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
 ) -> DataFrame:

@@ -3088,6 +3088,55 @@ def _q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_alt_pairs(d)
 
 
+def _q_laion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 capstone composition — the LAION pipeline end-to-end as
+    ONE plan: <img>/alt harvest (scan-stage regex) → image bytes keyed
+    on md5(image_url) (real BMPs, Arrow batch) → header-only width gate
+    (binary codegen, no decode) → perceptual-hash dedup (real decode →
+    dHash → hash-only exchange) → surviving (url, caption) pairs.  The
+    oracle replays the harvest regexes and the seed/pixel formulas."""
+    from docling_plus_spark.operators.imagemeta import bmp_header_dims
+    from docling_plus_spark.operators.imagepairs import image_alt_pairs
+    from docling_plus_spark.operators.phash import (
+        attach_seed_images,
+        dhash_dedup,
+        image_dhash,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/page.html"),
+        ).alias("url"),
+        F.expr(_IMG_HTML_SPARK).alias("html"),
+    )
+    pairs = image_alt_pairs(d).select(
+        (F.col("id") * 8 + F.col("img_idx")).alias("media_id"),
+        F.col("id").alias("doc_id"),
+        "img_idx",
+        "image_url",
+        "alt_text",
+        F.conv(F.substring(F.md5("image_url"), 1, 6), 16, 10)
+        .cast("long")
+        .alias("seed"),
+    )
+    media = attach_seed_images(pairs)
+    w, _h = bmp_header_dims("media")
+    survivors = media.filter(w >= 12)  # the LAION min-size gate
+    hashed = image_dhash(survivors.select("media_id", "media"))
+    deduped = dhash_dedup(hashed)
+    return deduped.join(
+        pairs.select("media_id", "doc_id", "img_idx", "image_url", "alt_text"),
+        "media_id",
+    ).select(
+        "doc_id", "img_idx", "image_url", "alt_text", "dhash", "is_dup"
+    )
+
+
 def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi/Pile-style training-mixture plan (operators/imagepairs.py:
     mixture_plan): per-source token shares vs target weights →
@@ -3137,8 +3186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDERING CONTRACT: the driver's CORRECTNESS gate checks the FIRST
     # ~50 entries in dict order. Round-5 curation (VERDICT r4 item 6):
-    # least-recently-driver-verified first — (1) the 7 never-checked
-    # queries (the round-5 image/lang/surt tranche + bitext_mine_ivf);
+    # least-recently-driver-verified first — (1) the 8 never-checked
+    # queries (the round-5 image/lang/surt/laion tranche +
+    # bitext_mine_ivf);
     # (2) the 16 queries whose last driver row is r1; (3) the r2-green
     # batch. The freshly r4-verified tranche ages at the tail. Ordering
     # is generated from the CORRECTNESS_r0{1..4}.json keys (latest
@@ -3150,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_consistency": _q_lang_consistency,
         "media_resize": _q_media_resize,
         "surt_keys": _q_surt_keys,
+        "laion_pipeline": _q_laion_pipeline,
         "bitext_mine_ivf": _q_bitext_mine_ivf,
         # -- last driver row: r1 --
         "text_merge": _q_text_merge,
@@ -3195,12 +3246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "asof_join": _q_asof_join,
         "jaccard_pairs": _q_jaccard_pairs,
+        # ---- ~50-query window boundary ---- (the 7 round-5 additions
+        # at the front pushed the r2-green simhash/ann_topk family just
+        # past it; all pushed-out entries are r2-or-later green — the
+        # right staleness trade for 7 never-checked queries)
         "simhash": _q_simhash,
         "simhash_near": _q_simhash_near,
-        # ---- ~50-query window boundary ---- (6 round-5 additions at
-        # the front pushed ann_topk/ann_topk_bucketed/ann_topk_ivf/
-        # gopher_quality/c4_clean just past it; all five are r2-or-later
-        # green, the right staleness trade for 6 never-checked queries)
         "ann_topk": _q_ann_topk,
         "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -4149,6 +4200,7 @@ FROM media
         "lang_consistency": _lang_consistency_oracle(),
         "media_resize": _media_resize_oracle(),
         "surt_keys": _surt_keys_oracle(),
+        "laion_pipeline": _laion_pipeline_oracle(),
         "extract_fields": _fields_oracle(),
         "doc_chunks": """
 WITH base AS (
@@ -4311,6 +4363,36 @@ def _image_alt_pairs_oracle() -> str:
         "|| doc_id::varchar || '/page.html'"
     )
     return image_alt_pairs_sql("doc_id", url, _IMG_HTML_SQL, "documents")
+
+
+def _laion_pipeline_oracle() -> str:
+    from docling_plus_spark.operators.imagepairs import image_alt_pairs_sql
+    from docling_plus_spark.operators.phash import dhash_from_seed_sql
+
+    url = (
+        "'https://h' || (doc_id % 7)::varchar || '.test/d/' "
+        "|| doc_id::varchar || '/page.html'"
+    )
+    pairs = image_alt_pairs_sql("doc_id", url, _IMG_HTML_SQL, "documents")
+    return f"""
+WITH pairs AS ({pairs}),
+seeded AS (
+  SELECT id * 8 + img_idx AS media_id, id AS doc_id, img_idx,
+         image_url, alt_text,
+         ('0x' || substr(md5(image_url), 1, 6))::bigint AS seed
+  FROM pairs
+),
+surv AS (
+  SELECT * FROM seeded WHERE seed % 8 + 9 >= 12
+),{dhash_from_seed_sql("surv")},
+dedup AS (
+  SELECT media_id, dhash,
+         media_id != min(media_id) OVER (PARTITION BY dhash) AS is_dup
+  FROM hashes
+)
+SELECT s.doc_id, s.img_idx, s.image_url, s.alt_text, d.dhash, d.is_dup
+FROM dedup d JOIN surv s USING (media_id)
+"""
 
 
 def _mixture_plan_oracle() -> str:

@@ -227,6 +227,19 @@ def image_dims_header(media: DataFrame, col: str = "media") -> DataFrame:
     )
 
 
+def bmp_header_dims(col: str = "media") -> tuple[Column, Column]:
+    """(width, height) columns from a known-BMP binary column — the
+    header-only parse for composed pipelines that just synthesized the
+    bytes (negative height normalized as in :func:`image_dims_header`).
+    Pure codegen."""
+    w = _le32(col, 19)
+    h_raw = _le32(col, 23)
+    h = F.when(
+        h_raw >= F.lit(2147483648), F.lit(4294967296) - h_raw
+    ).otherwise(h_raw)
+    return w, h
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twin: replays the dimension formula, no byte parsing
 

@@ -144,6 +144,80 @@ def synth_pair_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.mapInPandas(fn, PAIR_MEDIA_SCHEMA)
 
 
+def make_seed_bmp(seed: int) -> bytes:
+    """A real BMP for an arbitrary non-negative seed (role-0 formula,
+    dims from the seed) — the byte source for composed pipelines keyed
+    on a hash seed (e.g. md5 of a harvested image URL) rather than a
+    document id."""
+    w, h = seed % 8 + 9, seed % 5 + 8
+    row_len = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(_pixel(seed, 0, 0, x, y))
+        row += b"\x00" * (row_len - len(row))
+        img += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return bytes(header + img)
+
+
+def attach_seed_images(df: DataFrame, seed_col: str = "seed") -> DataFrame:
+    """Append a ``media`` binary column: one real BMP per row generated
+    from the row's seed.  Narrow mapInPandas — zero shuffle."""
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("media", T.BinaryType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["media"] = [
+                make_seed_bmp(int(s)) for s in pdf[seed_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
+
+
+def dhash_from_seed_sql(src: str, key: str = "media_id") -> str:
+    """CTE chain (to splice after a ``WITH`` list) computing the dHash
+    of the role-0 formula image for each row of CTE ``src``, which must
+    expose ``{key}`` and ``seed``.  Ends in CTE ``hashes`` with columns
+    ({key}, width, height, dhash)."""
+    return f"""
+simg AS (
+  SELECT {key}, seed, seed % 8 + 9 AS w, seed % 5 + 8 AS h FROM {src}
+),
+sgrid AS (
+  SELECT p.{key}, p.w, p.h, x.x, y.y,
+         ((p.seed + 3 * sx + 7 * sy + sx * sy) % {GRAY_MOD})
+       + ((2 * p.seed + 5 * sx + sy + 3 * sx * sy) % {GRAY_MOD})
+       + ((3 * p.seed + sx + 11 * sy + 2 * sx * sy) % {GRAY_MOD}) AS gray
+  FROM simg p
+  CROSS JOIN (SELECT unnest(range(0, {DH_W})) AS x) x
+  CROSS JOIN (SELECT unnest(range(0, {DH_H})) AS y) y
+  CROSS JOIN LATERAL (SELECT (x.x * p.w) // {DH_W} AS sx,
+                             (y.y * p.h) // {DH_H} AS sy) s
+),
+sbits AS (
+  SELECT a.{key}, a.w, a.h, a.x, a.y,
+         CASE WHEN b.gray > a.gray THEN '1' ELSE '0' END AS bit
+  FROM sgrid a
+  JOIN sgrid b ON a.{key} = b.{key} AND a.y = b.y AND b.x = a.x + 1
+),
+hashes AS (
+  SELECT {key},
+         max(w)::int AS width, max(h)::int AS height,
+         string_agg(bit, '' ORDER BY y, x) AS dhash
+  FROM sbits GROUP BY {key}
+)"""
+
+
 # ---------------------------------------------------------------------------
 # decode + hash (narrow stage)
 

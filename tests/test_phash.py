@@ -115,3 +115,35 @@ def test_twin_parity(spark):
     )
     oracle_dd = sorted(tuple(r) for r in con.execute(dhash_dedup_sql()).fetchall())
     assert oracle_dd == got_dd
+
+
+def test_laion_pipeline_composition(spark):
+    """The composed harvest → bytes → gate → dedup plan: images shared
+    across pages (site furniture) dedup to one exemplar; per-page
+    unique images survive; twin parity is the driver oracle's job
+    (oracle_check), semantic shape is locked here."""
+    import __spark_entry__ as e
+
+    out = e.queries()["laion_pipeline"](spark, SF).collect()
+    assert out
+    # dedup is global by hash: every hash group keeps exactly one
+    # exemplar, everything else is marked dup
+    groups = {}
+    for r in out:
+        groups.setdefault(r.dhash, []).append(r.is_dup)
+    for flags in groups.values():
+        assert flags.count(False) == 1
+    # the width gate really gates: the fixed //cdn2.test/pr.png image's
+    # seed fails min-width (seed % 8 + 9 < 12) so it never survives,
+    # while per-doc unique images do
+    assert not any(r.image_url.endswith("pr.png") for r in out)
+    assert sum(1 for r in out if "/abs_" in r.image_url) > 100
+
+
+def test_attach_seed_images_round_trip(spark):
+    from docling_plus_spark.operators.phash import attach_seed_images
+
+    df = spark.createDataFrame([(1, 7), (2, 700003)], "k long, seed long")
+    rows = {r.k: r for r in attach_seed_images(df).collect()}
+    arr = bmp_pixel_array(bytes(rows[1].media))
+    assert arr.shape == (7 % 5 + 8, 7 % 8 + 9, 3)

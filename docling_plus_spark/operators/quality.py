@@ -900,28 +900,49 @@ def lang_consistency(
 
     t = F.col(text_col)
     lang = F.col(lang_col)
-    pred = langid_expr(t)
-    script = main_script_expr(t)
     expected = F.lit(None).cast("string")
     for lg, sc in EXPECTED_SCRIPT.items():
         expected = F.when(lang == lg, F.lit(sc)).otherwise(expected)
     supported = lang.isin(*LANGID_SUPPORTED)
-    verdict = (
-        F.when(
-            expected.isNotNull() & (script != expected),
-            F.lit("script_mismatch"),
+
+    # let-bind langid + script as HOF lambda variables: inlined, the
+    # verdict CASE re-expands both subtrees per reference and the
+    # single projection blows the JVM's 64 KB codegen method limit —
+    # WholeStageCodegen then falls back to interpreted evaluation
+    # (measured 3-12 s vs ~1 s at sf0.1; same pitfall gopher_signals
+    # documents at the top of this module)
+    def _sig(pred: Column, script: Column) -> Column:
+        verdict = (
+            F.when(
+                expected.isNotNull() & (script != expected),
+                F.lit("script_mismatch"),
+            )
+            .when(supported & (pred == "und"), F.lit("undetermined"))
+            .when(supported & (pred != lang), F.lit("langid_mismatch"))
+            .otherwise(F.lit("agree"))
         )
-        .when(supported & (pred == "und"), F.lit("undetermined"))
-        .when(supported & (pred != lang), F.lit("langid_mismatch"))
-        .otherwise(F.lit("agree"))
+        return F.struct(
+            pred.alias("lang_pred"),
+            script.alias("main_script"),
+            verdict.alias("verdict"),
+        )
+
+    sig = F.element_at(
+        F.transform(
+            F.array(langid_expr(t)),
+            lambda pred: F.element_at(
+                F.transform(
+                    F.array(main_script_expr(t)),
+                    lambda script: _sig(pred, script),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
     return df.select(
-        F.col(id_col).alias("id"),
-        lang.alias("lang"),
-        pred.alias("lang_pred"),
-        script.alias("main_script"),
-        verdict.alias("verdict"),
-    )
+        F.col(id_col).alias("id"), lang.alias("lang"), sig.alias("s")
+    ).select("id", "lang", "s.*")
 
 
 def lang_consistency_sql(

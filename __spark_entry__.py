@@ -1574,6 +1574,19 @@ def _q_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_consistency(read_documents(spark, sf_dir))
 
 
+def _q_image_dhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded perceptual near-match: pairs within 6 of 64 bits
+    via 8-band pigeonhole (candidates only inside band buckets — the
+    SimHash block trick applied to the image modality)."""
+    from docling_plus_spark.operators.phash import (
+        dhash_near_pairs,
+        image_dhash,
+        synth_pair_images,
+    )
+
+    return dhash_near_pairs(image_dhash(synth_pair_images(spark, sf_dir)))
+
+
 def _q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only dims + size/aspect gate over real PNG/GIF/BMP bytes:
     pure whole-stage-codegen byte arithmetic, no decode, no Python —
@@ -3196,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new in round 5):
         "image_dhash": _q_image_dhash,
         "image_dhash_dedup": _q_image_dhash_dedup,
+        "image_dhash_near": _q_image_dhash_near,
         "image_dims": _q_image_dims,
         "lang_consistency": _q_lang_consistency,
         "media_resize": _q_media_resize,
@@ -4196,6 +4210,7 @@ FROM media
         "media_codec_stats": _media_codec_oracle(),
         "image_dhash": _image_dhash_oracle(),
         "image_dhash_dedup": _image_dhash_dedup_oracle(),
+        "image_dhash_near": _image_dhash_near_oracle(),
         "image_dims": _image_dims_oracle(),
         "lang_consistency": _lang_consistency_oracle(),
         "media_resize": _media_resize_oracle(),
@@ -4646,6 +4661,12 @@ def _image_dhash_dedup_oracle() -> str:
     from docling_plus_spark.operators.phash import dhash_dedup_sql
 
     return dhash_dedup_sql()
+
+
+def _image_dhash_near_oracle() -> str:
+    from docling_plus_spark.operators.phash import dhash_near_pairs_sql
+
+    return dhash_near_pairs_sql()
 
 
 def _image_dims_oracle() -> str:

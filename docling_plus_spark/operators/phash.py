@@ -291,6 +291,106 @@ def dhash_dedup(hashes: DataFrame) -> DataFrame:
     )
 
 
+N_BANDS, BAND_BITS = 8, 8        # 8 bands × 8 bits over the 64-bit hash
+
+
+def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(id_a, id_b, hamming): image pairs whose dHashes differ in at
+    most ``max_hamming`` of 64 bits — the perceptual near-match the
+    exact-hash groupBy misses (re-encodes that flip a few gradient
+    signs).
+
+    Pigeonhole banding, not all-pairs: with ``N_BANDS`` = 8 bands, any
+    two hashes within Hamming distance 7 share at least one identical
+    8-bit band, so candidates form ONLY inside band buckets (the
+    SimHash block trick, ``dedup.py:simhash_near``).  ``max_hamming``
+    must stay < N_BANDS for the guarantee; the default 6 leaves slack.
+    Exchanges carry (band, 8-char string, id) — never pixels.  At
+    10^10 images a low-texture mega-bucket (e.g. the all-ascending
+    band) needs the same salt-split guard ``winnow_candidate_pairs``
+    applies; at oracle scale the exact unguarded form is the contract.
+    """
+    if max_hamming >= N_BANDS:
+        raise ValueError("pigeonhole guarantee needs max_hamming < N_BANDS")
+    decoded = hashes.filter(F.col("status") == "decoded").select(
+        "media_id", "dhash"
+    )
+    bands = decoded.select(
+        "media_id",
+        "dhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.col("dhash").substr(
+                    b * BAND_BITS + 1, F.lit(BAND_BITS)
+                ),
+            )
+        ).alias("band_idx", "band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()  # a pair may share several bands
+    )
+    # "(?!$)" splits between every char with no trailing empty element
+    diff = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("ha"), "(?!$)"),
+                F.split(F.col("hb"), "(?!$)"),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.withColumn("hamming", diff.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dhash_near_pairs_sql(table: str = "documents", max_hamming: int = 6) -> str:
+    """Twin of ``dhash_near_pairs(image_dhash(synth_pair_images(...)))``."""
+    return (
+        _dhash_cte(table)
+        + f""",
+bands AS (
+  SELECT media_id, dhash, b.b AS band_idx,
+         substr(dhash, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS band
+  FROM hashes
+  CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.dhash AS ha, b.dhash AS hb
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band = b.band
+              AND a.media_id < b.media_id
+)
+SELECT id_a, id_b,
+       len(list_filter(range(1, 65),
+                       i -> substr(ha, i::int, 1) != substr(hb, i::int, 1)))
+         AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65),
+                      i -> substr(ha, i::int, 1) != substr(hb, i::int, 1)))
+      <= {max_hamming}
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins: replay the generative math, no decoder
 

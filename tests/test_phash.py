@@ -147,3 +147,41 @@ def test_attach_seed_images_round_trip(spark):
     rows = {r.k: r for r in attach_seed_images(df).collect()}
     arr = bmp_pixel_array(bytes(rows[1].media))
     assert arr.shape == (7 % 5 + 8, 7 % 8 + 9, 3)
+
+
+def test_near_pairs_pigeonhole_parity(spark):
+    """Banded near-match equals the brute-force Hamming scan (the
+    pigeonhole guarantee holds: max_hamming 6 < 8 bands), and the
+    planted brightness pair appears at distance 0."""
+    from itertools import combinations
+
+    from docling_plus_spark.operators.phash import (
+        dhash_near_pairs,
+        synth_pair_images,
+    )
+
+    hashes = image_dhash(synth_pair_images(spark, SF))
+    got = sorted(
+        tuple(r) for r in dhash_near_pairs(hashes, max_hamming=6).collect()
+    )
+    rows = {
+        r.media_id: r.dhash
+        for r in hashes.collect()
+        if r.status == "decoded"
+    }
+    brute = sorted(
+        (a, b, sum(x != y for x, y in zip(rows[a], rows[b])))
+        for a, b in combinations(sorted(rows), 2)
+        if sum(x != y for x, y in zip(rows[a], rows[b])) <= 6
+    )
+    assert got == brute
+    assert (0, 1, 0) in got            # planted near-dup pair
+
+
+def test_near_pairs_requires_pigeonhole_slack():
+    from docling_plus_spark.operators.phash import dhash_near_pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dhash_near_pairs(None, max_hamming=8)

@@ -82,3 +82,35 @@ def test_pure_codegen(spark):
     )
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_hostile_urls_twin_parity(spark):
+    """Degenerate inputs must not diverge between engines (errors are
+    values here: a garbage url yields a garbage-but-identical key)."""
+    hostile = [
+        "",
+        "https://",
+        "not a url at all",
+        "ftp://weird.example/ CAPS path",
+        "https://trailing.dot.example.com./x",
+        "https://example.com?onlyquery=1",
+        "https://example.com/percent%2Fencoded?A=%2F",
+        "https://xn--bcher-kva.example/unicode",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(hostile)], "i long, url string"
+    )
+    rows = df.select("i", surt_key(F.col("url")).alias("surt")).collect()
+    got = [r.surt for r in sorted(rows, key=lambda r: r.i)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES %s) x(i, url)"
+        % ", ".join(f"({i}, '{u}')" for i, u in enumerate(hostile))
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {surt_key_sql('url')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want

@@ -317,6 +317,12 @@ class _TextExtractor:
 
 WORD_GAP = 0.2
 CELL_GAP = 0.5
+#: style-size break: a glyph-run size change beyond this fraction of
+#: the larger size is a superscript/subscript style run — its own word
+#: AND its own sanitized cell (amt_handbook's inch fractions: body 10pt
+#: with 5.5pt numerator/denominator digits in the SAME font resource,
+#: so the font-identity break alone misses them)
+SIZE_BREAK_FRAC = 0.25
 
 _RTL_RE = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
 _LTR_RE = re.compile(r"[A-Za-zÀ-ɏ]")
@@ -383,6 +389,12 @@ def _glyphs_to_words(glyphs: list[_GlyphQuad]) -> list[_Word]:
             elif gap > WORD_GAP * em or gap < -2.0 * em:
                 brk = True
             elif g.font is not prev.font:
+                brk = True
+            elif abs(g.size - prev.size) > SIZE_BREAK_FRAC * max(
+                g.size, prev.size, 1e-6
+            ):
+                # superscript/subscript size run (fraction numerators
+                # and denominators set at half size in the body font)
                 brk = True
         if brk and cur:
             words.append(_Word(cur))
@@ -518,6 +530,7 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
         seg_r = rw[0].r
         seg_dir = _direction(rw[0].text)
         seg_font = rw[0].font
+        seg_size = rw[0].size
         for w in rw[1:]:
             gap = w.l - seg_r
             w_dir = _direction(w.text)
@@ -562,6 +575,12 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
                 and w.font is not seg_font
                 and not rtl_guard
             )
+            size_break = (
+                not w.is_space
+                and abs(w.size - seg_size) > SIZE_BREAK_FRAC
+                * max(w.size, seg_size, 1e-6)
+                and not rtl_guard
+            )
             rel_break = thr_rel is not None and gap > thr_rel * em
             prev = seg[-1]
             vint = min(prev.t, w.t) - max(prev.b, w.b)
@@ -575,6 +594,7 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
                 or bidi
                 or wide_space
                 or font_break
+                or size_break
                 or rel_break
                 or ov_break
             ):
@@ -583,6 +603,7 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
                 seg_r = w.r
                 seg_dir = w_dir
                 seg_font = w.font
+                seg_size = w.size
             else:
                 seg.append(w)
                 if w.r > seg_r:
@@ -591,6 +612,8 @@ def _words_to_cells(words: list[_Word]) -> list[TextCell]:
                     seg_dir = w_dir
                 if w.font is not None and (not w.is_space or sp_ok):
                     seg_font = w.font
+                if not w.is_space:
+                    seg_size = w.size
         emit(seg)
     return cells
 

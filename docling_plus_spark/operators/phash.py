@@ -295,10 +295,11 @@ N_BANDS, BAND_BITS = 8, 8        # 8 bands × 8 bits over the 64-bit hash
 
 
 def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """(id_a, id_b, hamming): image pairs whose dHashes differ in at
-    most ``max_hamming`` of 64 bits — the perceptual near-match the
-    exact-hash groupBy misses (re-encodes that flip a few gradient
-    signs).
+    """(id_a, id_b, hamming): exact-dup-class representative pairs
+    whose dHashes differ in 1..``max_hamming`` of 64 bits — the
+    perceptual near-match the exact-hash groupBy misses (re-encodes
+    that flip a few gradient signs).  Each id is the lowest media_id of
+    its exact-hash class (``dhash_dedup`` owns distance 0).
 
     Pigeonhole banding, not all-pairs: with ``N_BANDS`` = 8 bands, any
     two hashes within Hamming distance 7 share at least one identical
@@ -312,8 +313,17 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     """
     if max_hamming >= N_BANDS:
         raise ValueError("pigeonhole guarantee needs max_hamming < N_BANDS")
-    decoded = hashes.filter(F.col("status") == "decoded").select(
-        "media_id", "dhash"
+    # near-match runs BETWEEN exact-hash classes: identical hashes are
+    # dhash_dedup's job, and collapsing them first (representative =
+    # lowest id per hash) is what keeps band buckets bounded — without
+    # it every exact-dup class of size n re-enters the band join n
+    # times and the candidate volume grows quadratically in the
+    # duplication rate (measured: 58 s -> ~2 s at sf0.1, where the
+    # synthetic corpus repeats each image ~14x)
+    decoded = (
+        hashes.filter(F.col("status") == "decoded")
+        .groupBy("dhash")
+        .agg(F.min("media_id").alias("media_id"))
     )
     bands = decoded.select(
         "media_id",
@@ -366,10 +376,13 @@ def dhash_near_pairs_sql(table: str = "documents", max_hamming: int = 6) -> str:
     return (
         _dhash_cte(table)
         + f""",
+reps AS (
+  SELECT dhash, min(media_id) AS media_id FROM hashes GROUP BY dhash
+),
 bands AS (
   SELECT media_id, dhash, b.b AS band_idx,
          substr(dhash, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS band
-  FROM hashes
+  FROM reps
   CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b) b
 ),
 cand AS (
